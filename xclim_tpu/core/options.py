@@ -1,0 +1,119 @@
+"""Global options and the ``set_options`` context manager
+(reference: xclim:src/xclim/core/options.py)."""
+
+from __future__ import annotations
+
+from xclim_tpu.core._exceptions import ValidationError, raise_warn_or_log
+
+__all__ = ["OPTIONS", "set_options", "register_missing_method", "MISSING_METHODS",
+           "datacheck", "cfcheck"]
+
+METADATA_LOCALES = "metadata_locales"
+DATA_VALIDATION = "data_validation"
+CF_COMPLIANCE = "cf_compliance"
+CHECK_MISSING = "check_missing"
+MISSING_OPTIONS = "missing_options"
+RUN_LENGTH_UFUNC = "run_length_ufunc"  # kept for API parity; single TPU path ignores it
+AS_DATASET = "as_dataset"
+RESAMPLE_MAP_BLOCKS = "resample_map_blocks"  # kept for API parity
+
+OPTIONS: dict = {
+    METADATA_LOCALES: [],
+    DATA_VALIDATION: "raise",
+    CF_COMPLIANCE: "warn",
+    CHECK_MISSING: "any",
+    MISSING_OPTIONS: {},
+    RUN_LENGTH_UFUNC: "auto",
+    AS_DATASET: False,
+    RESAMPLE_MAP_BLOCKS: False,
+}
+
+MISSING_METHODS: dict[str, type] = {}
+
+_SEVERITIES = ("raise", "warn", "log", "silent")
+
+
+def _valid(name, value):
+    if name in (DATA_VALIDATION, CF_COMPLIANCE):
+        return value in _SEVERITIES
+    if name == CHECK_MISSING:
+        return value in MISSING_METHODS or value == "skip"
+    if name == METADATA_LOCALES:
+        return isinstance(value, (list, tuple))
+    if name in (AS_DATASET, RESAMPLE_MAP_BLOCKS):
+        return isinstance(value, bool)
+    if name == MISSING_OPTIONS:
+        return isinstance(value, dict)
+    if name == RUN_LENGTH_UFUNC:
+        return value in ("auto", True, False)
+    return False
+
+
+def register_missing_method(name: str):
+    """Class decorator registering a missing-value method
+    (xclim:core/options.py:88)."""
+
+    def dec(cls):
+        MISSING_METHODS[name] = cls
+        cls.name = name
+        return cls
+
+    return dec
+
+
+class set_options:
+    """Set xclim_tpu options globally or inside a ``with`` block
+    (xclim:core/options.py:244)."""
+
+    def __init__(self, **kwargs):
+        self.old = {}
+        for k, v in kwargs.items():
+            if k not in OPTIONS:
+                raise ValueError(f"Unknown option {k!r}; valid are {sorted(OPTIONS)}")
+            if not _valid(k, v):
+                raise ValueError(f"Invalid value {v!r} for option {k!r}")
+            self.old[k] = OPTIONS[k]
+            if k == MISSING_OPTIONS:
+                merged = dict(OPTIONS[k])
+                merged.update(v)
+                OPTIONS[k] = merged
+            else:
+                OPTIONS[k] = v
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *args):
+        OPTIONS.update(self.old)
+
+
+def datacheck(func):
+    """Decorator routing data-validation failures per OPTIONS[data_validation]
+    (xclim:core/options.py:144)."""
+    import functools
+
+    @functools.wraps(func)
+    def wrapper(*args, **kwargs):
+        try:
+            return func(*args, **kwargs)
+        except ValidationError as err:
+            raise_warn_or_log(err, OPTIONS[DATA_VALIDATION], err_type=ValidationError)
+        return None
+
+    return wrapper
+
+
+def cfcheck(func):
+    """Decorator routing CF-compliance failures per OPTIONS[cf_compliance]
+    (xclim:core/options.py:166)."""
+    import functools
+
+    @functools.wraps(func)
+    def wrapper(*args, **kwargs):
+        try:
+            return func(*args, **kwargs)
+        except ValidationError as err:
+            raise_warn_or_log(err, OPTIONS[CF_COMPLIANCE], err_type=ValidationError)
+        return None
+
+    return wrapper

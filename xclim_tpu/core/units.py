@@ -1,0 +1,759 @@
+"""CF units engine: parsing, algebra, conversion, dimensionality declarations.
+
+A from-scratch, dependency-free replacement for the reference's pint/cf-xarray
+registry (xclim:src/xclim/core/units.py). Units are represented as
+(scale, offset, dimension-vector) triples plus a symbolic form for CF-style
+printing ("kg m-2 s-1"). The hydro context (mass-of-water ↔ depth,
+xclim:core/units.py:84-108) is built in.
+
+All conversion factors are plain Python floats applied host-side or fused into
+jitted device code — there is never a unit object on the TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+import re
+from dataclasses import dataclass
+from fractions import Fraction
+
+import numpy as np
+
+__all__ = [
+    "Quantity",
+    "Units",
+    "amount2lwethickness",
+    "amount2rate",
+    "check_units",
+    "convert_units_to",
+    "declare_units",
+    "declare_relative_units",
+    "ensure_cf_units",
+    "ensure_delta",
+    "flux2rate",
+    "infer_context",
+    "infer_sampling_units",
+    "lwethickness2amount",
+    "pint2cfattrs",
+    "pint2cfunits",
+    "rate2amount",
+    "rate2flux",
+    "str2pint",
+    "to_agg_units",
+    "units",
+    "units2pint",
+]
+
+# dimension symbols: L length, M mass, T time, K temperature, A angle, N amount(mol)
+_DIMS = ("L", "M", "T", "K", "A", "N")
+
+WATER_DENSITY = 1000.0  # kg m-3 (xclim:core/units.py:90)
+
+
+def _dv(**kw) -> tuple:
+    """Dimension vector as canonical tuple of Fractions over _DIMS."""
+    return tuple(Fraction(kw.get(d, 0)) for d in _DIMS)
+
+
+_ZERO_DIM = _dv()
+_DENSITY_DIM = _dv(M=1, L=-3)
+
+
+class UnitError(ValueError):
+    """Raised for undefined units or incompatible dimensionalities
+    (stand-in for pint.UndefinedUnitError / DimensionalityError)."""
+
+
+# symbol → (scale_to_SI, offset_to_SI, dims, canonical_symbol)
+_UNIT_TABLE: dict[str, tuple[float, float, tuple, str]] = {}
+
+
+def _def(symbols, scale, dims, offset=0.0, canon=None):
+    syms = symbols.split()
+    canon = canon or syms[0]
+    for s in syms:
+        _UNIT_TABLE[s] = (float(scale), float(offset), dims, canon)
+
+
+_def("m meter meters metre metres", 1.0, _dv(L=1))
+_def("g gram grams gramme grammes", 1e-3, _dv(M=1))
+_def("s sec secs second seconds", 1.0, _dv(T=1))
+_def("min minute minutes", 60.0, _dv(T=1))
+_def("h hr hrs hour hours", 3600.0, _dv(T=1))
+_def("d day days", 86400.0, _dv(T=1), canon="d")
+_def("week weeks wk", 604800.0, _dv(T=1), canon="week")
+_def("yr year years a annum", 365.25 * 86400, _dv(T=1), canon="yr")
+_def("K kelvin kelvins degK", 1.0, _dv(K=1))
+_def("degC celsius C degreeC degrees_Celsius degree_Celsius °C ℃", 1.0, _dv(K=1),
+     offset=273.15, canon="degC")
+_def("degF fahrenheit degreeF degrees_Fahrenheit °F", 5.0 / 9.0, _dv(K=1),
+     offset=459.67 * 5.0 / 9.0, canon="degF")
+_def("delta_degC delta_celsius", 1.0, _dv(K=1), canon="delta_degC")
+_def("delta_degF delta_fahrenheit", 5.0 / 9.0, _dv(K=1), canon="delta_degF")
+_def("rad radian radians", 1.0, _dv(A=1))
+_def("degree degrees deg degrees_north degrees_east °", np.pi / 180.0, _dv(A=1), canon="degree")
+_def("mol mole moles", 1.0, _dv(N=1))
+_def("Pa pascal pascals", 1.0, _dv(M=1, L=-1, T=-2))
+_def("bar", 1e5, _dv(M=1, L=-1, T=-2))
+_def("atm atmosphere", 101325.0, _dv(M=1, L=-1, T=-2))
+_def("N newton newtons", 1.0, _dv(M=1, L=1, T=-2))
+_def("J joule joules", 1.0, _dv(M=1, L=2, T=-2))
+_def("W watt watts", 1.0, _dv(M=1, L=2, T=-3))
+_def("Hz hertz", 1.0, _dv(T=-1))
+_def("L l liter liters litre litres", 1e-3, _dv(L=3), canon="L")
+_def("t tonne tonnes ton", 1e3, _dv(M=1), canon="t")
+_def("%", 0.01, _ZERO_DIM, canon="%")
+_def("percent pct", 0.01, _ZERO_DIM, canon="%")
+_def("1", 1.0, _ZERO_DIM, canon="1")
+_def("count", 1.0, _ZERO_DIM, canon="1")
+_def("dimensionless", 1.0, _ZERO_DIM, canon="1")
+_def("ppm", 1e-6, _ZERO_DIM, canon="ppm")
+_def("knot knots kt", 0.514444, _dv(L=1, T=-1), canon="knot")
+_def("mph", 0.44704, _dv(L=1, T=-1))
+_def("inch inches in", 0.0254, _dv(L=1), canon="in")
+_def("foot feet ft", 0.3048, _dv(L=1), canon="ft")
+
+_PREFIXES = {
+    "Y": 1e24, "Z": 1e21, "E": 1e18, "P": 1e15, "T": 1e12, "G": 1e9, "M": 1e6,
+    "k": 1e3, "h": 1e2, "da": 1e1, "d": 1e-1, "c": 1e-2, "m": 1e-3,
+    "u": 1e-6, "µ": 1e-6, "n": 1e-9, "p": 1e-12, "f": 1e-15,
+}
+
+# tokens that must never be parsed as prefix+unit
+_NO_PREFIX_SPLIT = {"min", "in", "ft", "pct", "atm", "mph", "day", "days", "deg", "mol", "Pa", "yr", "percent", "count"}
+
+
+def _resolve_symbol(tok: str) -> tuple[float, float, tuple, str]:
+    if tok in _UNIT_TABLE:
+        return _UNIT_TABLE[tok]
+    if tok not in _NO_PREFIX_SPLIT:
+        for plen in (2, 1):
+            if len(tok) > plen and tok[:plen] in _PREFIXES and tok[plen:] in _UNIT_TABLE:
+                sc, off, dims, canon = _UNIT_TABLE[tok[plen:]]
+                if off != 0.0:
+                    break  # no prefixed offset units
+                pre = tok[:plen]
+                return sc * _PREFIXES[pre], 0.0, dims, pre + canon
+    raise UnitError(f"Undefined unit symbol: {tok!r}")
+
+
+_TOKEN_RE = re.compile(r"([A-Za-zµ°%℃_]+)(?:\s*(?:\*\*|\^)\s*)?([+-]?\d+)?")
+
+
+@dataclass(frozen=True)
+class Units:
+    """An immutable unit: scale & offset to SI plus dimension vector, and a
+    symbolic composition for CF printing."""
+
+    scale: float
+    offset: float  # nonzero only for lone temperature units
+    dims: tuple  # Fractions over _DIMS
+    symbols: tuple  # sorted tuple of (canonical symbol, Fraction exponent)
+    delta: bool = False  # temperature expressed as a difference
+
+    # ---- algebra ----
+    def __mul__(self, other: "Units") -> "Units":
+        return Units(self.scale * other.scale, 0.0,
+                     tuple(a + b for a, b in zip(self.dims, other.dims)),
+                     _merge_symbols(self.symbols, other.symbols, 1))
+
+    def __truediv__(self, other: "Units") -> "Units":
+        return Units(self.scale / other.scale, 0.0,
+                     tuple(a - b for a, b in zip(self.dims, other.dims)),
+                     _merge_symbols(self.symbols, other.symbols, -1))
+
+    def __pow__(self, p) -> "Units":
+        p = Fraction(p)
+        return Units(self.scale ** float(p), 0.0,
+                     tuple(d * p for d in self.dims),
+                     tuple((s, e * p) for s, e in self.symbols if e * p != 0))
+
+    @property
+    def dimensionality(self) -> tuple:
+        return self.dims
+
+    @property
+    def is_temperature(self) -> bool:
+        return self.dims == _dv(K=1)
+
+    def to_cf(self) -> str:
+        return _format_symbols(self.symbols)
+
+    def __str__(self):
+        return self.to_cf()
+
+    def __format__(self, spec):
+        return self.to_cf()
+
+
+def _merge_symbols(a, b, sign):
+    d = dict(a)
+    for s, e in b:
+        d[s] = d.get(s, Fraction(0)) + sign * e
+    return tuple(sorted((s, e) for s, e in d.items() if e != 0))
+
+
+def _fmt_exp(e: Fraction) -> str:
+    if e.denominator == 1:
+        return str(e.numerator)
+    return f"{e.numerator}/{e.denominator}"
+
+
+def _format_symbols(symbols) -> str:
+    if not symbols:
+        return "1"
+    # order: positive exponents first, then negative (CF style: kg m-2 s-1)
+    pos = [(s, e) for s, e in symbols if e > 0]
+    neg = [(s, e) for s, e in symbols if e < 0]
+    parts = []
+    for s, e in pos + neg:
+        if e == 1:
+            parts.append(s)
+        else:
+            parts.append(f"{s}{_fmt_exp(e)}")
+    out = " ".join(parts)
+    return out if out else "1"
+
+
+DIMENSIONLESS = Units(1.0, 0.0, _ZERO_DIM, ())
+
+
+@functools.lru_cache(maxsize=4096)
+def parse_units(s) -> Units:
+    """Parse a CF unit string ('kg m-2 s-1', 'mm/day', 'degC', 'W/m^2', '%')."""
+    if isinstance(s, Units):
+        return s
+    if s is None:
+        return DIMENSIONLESS
+    s = str(s).strip()
+    if s in ("", "1", "dimensionless", "no_unit", "none"):
+        return DIMENSIONLESS
+    # split on '/' — pint semantics: a/b/c == a/(b)/(c)
+    groups = re.split(r"/", s)
+    scale = 1.0
+    dims = list(_ZERO_DIM)
+    symbols: tuple = ()
+    n_units = 0
+    last_offset = 0.0
+    last_dims = None
+    for gi, grp in enumerate(groups):
+        sign = 1 if gi == 0 else -1
+        grp = grp.replace("·", " ").replace("*", " ").replace(".", " ")
+        for m in _TOKEN_RE.finditer(grp):
+            tok, exp = m.group(1), m.group(2)
+            e = Fraction(int(exp) if exp is not None else 1) * sign
+            sc, off, dvec, canon = _resolve_symbol(tok)
+            scale *= sc ** float(e)
+            dims = [a + b * e for a, b in zip(dims, dvec)]
+            symbols = _merge_symbols(symbols, ((canon, e),), 1)
+            n_units += 1
+            last_offset = off
+            last_dims = dvec
+        # bare numbers (like "100") — treat as scale; strip unit tokens (and
+        # their exponents) first so "s-1" doesn't contribute a stray 1
+        residue = _TOKEN_RE.sub(" ", grp)
+        for m in re.finditer(r"(\d+(?:\.\d+)?(?:e-?\d+)?)", residue):
+            v = float(m.group(1))
+            if v != 1:
+                scale *= v ** sign
+    offset = 0.0
+    delta = False
+    if n_units == 1 and last_dims == _dv(K=1) and tuple(dims) == _dv(K=1):
+        offset = last_offset
+        delta = symbols and symbols[0][0].startswith("delta_")
+    return Units(scale, offset, tuple(dims), symbols, delta=bool(delta))
+
+
+@dataclass(frozen=True)
+class Quantity:
+    """A magnitude with units (host-side scalar or numpy array)."""
+
+    magnitude: float
+    units: Units
+
+    @property
+    def m(self):
+        return self.magnitude
+
+    @property
+    def u(self):
+        return self.units
+
+    def to(self, target, context: str | None = None) -> "Quantity":
+        tgt = parse_units(target)
+        factor, delta = _conversion(self.units, tgt, context)
+        return Quantity(self.magnitude * factor + delta, tgt)
+
+    @property
+    def dimensionality(self):
+        return self.units.dims
+
+    def __str__(self):
+        return f"{self.magnitude} {self.units.to_cf()}"
+
+    def __mul__(self, other):
+        if isinstance(other, Quantity):
+            return Quantity(self.magnitude * other.magnitude, self.units * other.units)
+        return Quantity(self.magnitude * other, self.units)
+
+    def __truediv__(self, other):
+        if isinstance(other, Quantity):
+            return Quantity(self.magnitude / other.magnitude, self.units / other.units)
+        return Quantity(self.magnitude / other, self.units)
+
+
+class _Registry:
+    """Minimal pint-registry lookalike: ``units.Quantity("5 mm/d")`` etc."""
+
+    @staticmethod
+    def Quantity(value, unit=None):
+        if unit is None:
+            if isinstance(value, str):
+                return str2pint(value)
+            return Quantity(value, DIMENSIONLESS)
+        return Quantity(value, parse_units(unit))
+
+    def __call__(self, s):
+        return parse_units(s)
+
+    def parse_units(self, s):
+        return parse_units(s)
+
+
+units = _Registry()
+
+
+_Q_RE = re.compile(r"^\s*([+-]?\d*\.?\d+(?:[eE][+-]?\d+)?)?\s*(.*)$")
+
+
+def str2pint(val) -> Quantity:
+    """'30 degC' → Quantity (xclim:core/units.py str2pint)."""
+    if isinstance(val, Quantity):
+        return val
+    if isinstance(val, (int, float)):
+        return Quantity(float(val), DIMENSIONLESS)
+    m = _Q_RE.match(str(val))
+    mag = float(m.group(1)) if m.group(1) else 1.0
+    return Quantity(mag, parse_units(m.group(2)))
+
+
+def units2pint(obj) -> Units:
+    """Extract Units from a ClimArray / string / Quantity (xclim units2pint)."""
+    if isinstance(obj, Units):
+        return obj
+    if isinstance(obj, Quantity):
+        return obj.units
+    if isinstance(obj, str):
+        return parse_units(obj)
+    attrs = getattr(obj, "attrs", None)
+    if attrs is not None:
+        return parse_units(attrs.get("units", ""))
+    raise UnitError(f"Cannot get units from {type(obj)}")
+
+
+def pint2cfunits(u: Units) -> str:
+    return parse_units(u).to_cf() if not isinstance(u, Units) else u.to_cf()
+
+
+def pint2cfattrs(u: Units, is_difference: bool | None = None) -> dict:
+    """Units → CF attrs dict, incl. units_metadata for temperature differences
+    (xclim:core/units.py:226)."""
+    attrs = {"units": u.to_cf().replace("delta_", "")}
+    if u.dims == _dv(K=1) and (is_difference or u.delta):
+        attrs["units_metadata"] = "temperature: difference"
+    return attrs
+
+
+# ---------------------------------------------------------------------------
+# Conversion
+# ---------------------------------------------------------------------------
+
+
+def _conversion(src: Units, tgt: Units, context: str | None = None) -> tuple[float, float]:
+    """Return (factor, delta) such that x_tgt = x_src * factor + delta."""
+    if src.dims == tgt.dims:
+        factor = src.scale / tgt.scale
+        delta = (src.offset - tgt.offset) / tgt.scale
+        return factor, delta
+    if context in ("hydro", "infer"):
+        diff = tuple(a - b for a, b in zip(src.dims, tgt.dims))
+        if diff == _DENSITY_DIM:  # mass/area[/time] → length[/time]: divide by density
+            return src.scale / tgt.scale / WATER_DENSITY, 0.0
+        if diff == tuple(-d for d in _DENSITY_DIM):
+            return src.scale / tgt.scale * WATER_DENSITY, 0.0
+    raise UnitError(
+        f"Cannot convert from {src.to_cf()!r} {src.dims} to {tgt.to_cf()!r} {tgt.dims}"
+        + (f" in context {context!r}" if context else "")
+    )
+
+
+def infer_context(standard_name: str | None = None, dimension: str | None = None) -> str:
+    """Pick 'hydro' when the variable smells like water mass flux
+    (xclim:core/units.py:1502)."""
+    sn_hydro = standard_name is not None and (
+        "precipitation" in standard_name
+        or "evapotranspiration" in standard_name
+        or "snowfall" in standard_name
+        or standard_name.startswith("lwe_")
+        or "water_evaporation" in standard_name
+        or "moisture" in standard_name
+        or "runoff" in standard_name
+    )
+    dim_hydro = dimension is not None and "[precipitation]" in dimension
+    return "hydro" if (sn_hydro or dim_hydro) else "none"
+
+
+def convert_units_to(source, target, context: str | None = None):
+    """Convert a ClimArray / Quantity / quantified string to target units
+    (xclim:core/units.py:334).
+
+    For ClimArrays the data is scaled lazily (jax-traceable) and the units attr
+    becomes the target's CF form.
+    """
+    from xclim_tpu.core.dataarray import ClimArray  # local import to avoid cycle
+
+    if isinstance(target, (ClimArray,)):
+        tgt = units2pint(target)
+    else:
+        tgt = parse_units(target) if not isinstance(target, Units) else target
+
+    if isinstance(source, str):
+        source = str2pint(source)
+    if isinstance(source, (int, float)):
+        source = Quantity(float(source), tgt)  # bare numbers: assume target units
+        return source.magnitude
+    if isinstance(source, Quantity):
+        if context in (None, "infer"):
+            context = "hydro" if _hydro_compatible(source.units, tgt) else None
+        return source.to(tgt, context).magnitude
+
+    # ClimArray
+    src = units2pint(source)
+    if context in (None, "infer"):
+        sn = source.attrs.get("standard_name")
+        ctx = infer_context(sn)
+        if ctx == "none" and _hydro_compatible(src, tgt):
+            ctx = "hydro" if context == "infer" else ctx
+        context = ctx if context == "infer" or ctx == "hydro" else context
+    factor, delta = _conversion(src, tgt, context)
+    data = source.data
+    if factor != 1.0 or delta != 0.0:
+        data = data * factor + delta if delta != 0.0 else data * factor
+    new = source.copy(data=data)
+    new.attrs = dict(source.attrs)
+    new.attrs["units"] = tgt.to_cf().replace("delta_", "")
+    if tgt.delta:
+        new.attrs["units_metadata"] = "temperature: difference"
+    return new
+
+
+def _hydro_compatible(a: Units, b: Units) -> bool:
+    diff = tuple(x - y for x, y in zip(a.dims, b.dims))
+    return diff == _DENSITY_DIM or diff == tuple(-d for d in _DENSITY_DIM)
+
+
+# ---------------------------------------------------------------------------
+# Dimensionality declarations
+# ---------------------------------------------------------------------------
+
+_NAMED_DIMENSIONS = {
+    "length": _dv(L=1),
+    "area": _dv(L=2),
+    "volume": _dv(L=3),
+    "mass": _dv(M=1),
+    "time": _dv(T=1),
+    "temperature": _dv(K=1),
+    "speed": _dv(L=1, T=-1),
+    "velocity": _dv(L=1, T=-1),
+    "acceleration": _dv(L=1, T=-2),
+    "pressure": _dv(M=1, L=-1, T=-2),
+    "energy": _dv(M=1, L=2, T=-2),
+    "power": _dv(M=1, L=2, T=-3),
+    "radiation": _dv(M=1, T=-3),  # W m-2 (xclim:core/units.py:80)
+    "precipitation": _dv(M=1, L=-2, T=-1),  # kg m-2 s-1 (xclim:core/units.py:77)
+    "snowamount": _dv(M=1, L=-2),  # kg m-2 (xclim:core/units.py:78)
+    "discharge": _dv(L=3, T=-1),  # m3 s-1 (xclim:core/units.py:79)
+    "angle": _dv(A=1),
+    "dimensionless": _ZERO_DIM,
+    "": _ZERO_DIM,
+}
+
+_HYDRO_NAMES = {"precipitation", "snowamount"}
+
+
+def _parse_dimensionality(decl: str) -> tuple[tuple, bool]:
+    """'[precipitation]', '[length]/[time]', '[]' → (dim vector, hydro_flexible)."""
+    decl = decl.strip()
+    if decl in ("[]", ""):
+        return _ZERO_DIM, False
+    hydro = False
+    dims = list(_ZERO_DIM)
+    parts = decl.split("/")
+    for gi, grp in enumerate(parts):
+        sgn = 1 if gi == 0 else -1
+        for m in re.finditer(r"\[(\w*)\](?:\s*(?:\*\*|\^)\s*([+-]?\d+))?", grp):
+            name, exp = m.group(1), int(m.group(2) or 1)
+            vec = _NAMED_DIMENSIONS.get(name)
+            if vec is None:
+                raise UnitError(f"Unknown dimensionality name [{name}] in {decl!r}")
+            if name in _HYDRO_NAMES:
+                hydro = True
+            dims = [a + b * sgn * exp for a, b in zip(dims, vec)]
+    return tuple(dims), hydro
+
+
+def check_units(val, dim: str | None) -> None:
+    """Validate that `val`'s units have dimensionality `dim`
+    (xclim:core/units.py check_units). Raises UnitError otherwise."""
+    if dim is None or val is None:
+        return
+    if str(dim) in ("[]", ""):
+        expected, hydro = _ZERO_DIM, False
+    else:
+        expected, hydro = _parse_dimensionality(str(dim))
+    u = units2pint(val) if not isinstance(val, (int, float)) else DIMENSIONLESS
+    if u.dims == expected:
+        return
+    if hydro:
+        diff = tuple(a - b for a, b in zip(u.dims, expected))
+        if diff in (_DENSITY_DIM, tuple(-d for d in _DENSITY_DIM)):
+            return
+    # dimensionless declared: accept % etc (dims zero already); accept count
+    raise UnitError(
+        f"Units {u.to_cf()!r} (dims {u.dims}) do not match expected dimensionality {dim!r}"
+    )
+
+
+def declare_units(**units_by_name):
+    """Attach expected dimensionalities to a compute function and validate
+    quantified inputs at call time (xclim:core/units.py:1424)."""
+
+    def dec(func):
+        @functools.wraps(func)
+        def wrapper(*args, **kwargs):
+            import inspect
+
+            bound = inspect.signature(func).bind(*args, **kwargs)
+            bound.apply_defaults()
+            for name, dim in units_by_name.items():
+                if name in bound.arguments and bound.arguments[name] is not None:
+                    val = bound.arguments[name]
+                    if isinstance(val, (str, Quantity)) or hasattr(val, "attrs"):
+                        check_units(val, dim)
+            return func(*args, **kwargs)
+
+        wrapper.in_units = units_by_name
+        wrapper.__wrapped__ = func
+        return wrapper
+
+    return dec
+
+
+def declare_relative_units(**units_by_name):
+    """Declare input dimensionality relative to other inputs
+    (xclim:core/units.py:1313). e.g. thresh='<da>' means same dims as `da`."""
+
+    def dec(func):
+        @functools.wraps(func)
+        def wrapper(*args, **kwargs):
+            import inspect
+
+            bound = inspect.signature(func).bind(*args, **kwargs)
+            bound.apply_defaults()
+            for name, rel in units_by_name.items():
+                val = bound.arguments.get(name)
+                if val is None:
+                    continue
+                m = re.match(r"^<(\w+)>$", rel.strip())
+                if not m:
+                    continue
+                ref = bound.arguments.get(m.group(1))
+                if ref is None:
+                    continue
+                try:
+                    ru = units2pint(ref)
+                    vu = units2pint(val)
+                except UnitError:
+                    continue
+                if vu.dims != ru.dims and not _hydro_compatible(vu, ru):
+                    raise UnitError(
+                        f"{name} units {vu.to_cf()!r} incompatible with {m.group(1)} "
+                        f"units {ru.to_cf()!r}")
+            return func(*args, **kwargs)
+
+        wrapper.relative_units = units_by_name
+        wrapper.__wrapped__ = func
+        return wrapper
+
+    return dec
+
+
+def ensure_cf_units(ustr: str) -> str:
+    return parse_units(ustr).to_cf()
+
+
+def ensure_delta(ustr: str) -> str:
+    """Temperature unit → its delta form (xclim ensure_delta)."""
+    u = parse_units(ustr)
+    if u.dims == _dv(K=1) and u.offset != 0:
+        return "delta_" + u.to_cf()
+    return u.to_cf()
+
+
+# ---------------------------------------------------------------------------
+# Aggregation units & rate/amount conversions
+# ---------------------------------------------------------------------------
+
+_FREQ_UNIT = {"s": "s", "min": "min", "h": "h", "D": "d", "W": "week", "M": "month",
+              "Q": "season", "Y": "yr"}
+
+
+def infer_sampling_units(da, deffreq: str | None = "D") -> tuple[int, str]:
+    """(multiplier, unit string) of the sampling frequency
+    (xclim infer_sampling_units)."""
+    time = getattr(da, "time", None)
+    freq = time.infer_freq() if time is not None and len(time) > 2 else None
+    if freq is None:
+        freq = deffreq
+    if freq is None:
+        raise ValueError("Cannot infer sampling frequency.")
+    from xclim_tpu.core.calendar import parse_offset
+
+    mult, base, _, _ = parse_offset(freq)
+    return mult, _FREQ_UNIT.get(base, "d")
+
+
+def to_agg_units(out, orig, op: str, deffreq: str | None = "D"):
+    """Set units after a time aggregation (xclim:core/units.py:621).
+
+    count → sampling unit ('d'); integral → units × time; doymin/doymax → ''
+    with is_dayofyear attr; var → units²; others inherit.
+    """
+    ou = units2pint(orig)
+    if op in ("min", "max", "amin", "amax", "mean", "sum"):
+        out.attrs["units"] = orig.attrs.get("units", "")
+    elif op == "std":
+        out.attrs["units"] = orig.attrs.get("units", "")
+        out.attrs["units_metadata"] = "temperature: difference" if ou.is_temperature else \
+            out.attrs.get("units_metadata", "")
+        if not out.attrs.get("units_metadata"):
+            out.attrs.pop("units_metadata", None)
+    elif op == "var":
+        out.attrs["units"] = pint2cfunits(ou ** 2)
+    elif op in ("doymin", "doymax"):
+        from xclim_tpu.core.calendar import get_calendar
+
+        out.attrs.update(units="1", is_dayofyear=np.int32(1))
+        try:
+            out.attrs["calendar"] = get_calendar(orig)
+        except ValueError:
+            pass
+    elif op in ("count", "integral"):
+        m, funit = infer_sampling_units(orig, deffreq=deffreq)
+        if m != 1:
+            out.data = out.data * m
+        if op == "count":
+            out.attrs["units"] = funit
+        else:
+            if ou.is_temperature:
+                ou = Units(ou.scale, 0.0, ou.dims, ou.symbols, delta=True)
+            prod = ou * parse_units(funit)
+            if prod.dims == _dv():  # time × rate cancels
+                out.attrs["units"] = "1" if prod.scale == 1.0 else prod.to_cf()
+                if prod.scale != 1.0:
+                    out.data = out.data * prod.scale
+                    out.attrs["units"] = "1"
+            else:
+                out.attrs.update(pint2cfattrs(prod, is_difference=ou.delta))
+    else:
+        raise ValueError(f"Unknown aggregation op {op}")
+    if op in ("doymin", "doymax", "count"):
+        out.attrs.pop("units_metadata", None)
+    return out
+
+
+def _sampling_seconds(da) -> np.ndarray:
+    time = da.time
+    return time.timestep_seconds()
+
+
+def rate2amount(rate, out_units: str | None = None):
+    """Rate → amount by multiplying with each timestep's duration
+    (xclim:core/units.py:854). Non-uniform steps (months) are handled exactly."""
+    dt = _sampling_seconds(rate)  # (T,)
+    taxis = rate.dims.index("time")
+    shape = [1] * rate.data.ndim
+    shape[taxis] = len(dt)
+    u = units2pint(rate)
+    amount_u = u * parse_units("s")
+    data = rate.data * dt.reshape(shape).astype(np.float32)
+    out = rate.copy(data=data)
+    out.attrs = dict(rate.attrs)
+    out.attrs["units"] = amount_u.to_cf()
+    if out.attrs.get("standard_name", "").endswith("_flux"):
+        out.attrs["standard_name"] = out.attrs["standard_name"].replace("_flux", "_amount")
+    if out_units:
+        out = convert_units_to(out, out_units, context="hydro")
+    return out
+
+
+def amount2rate(amount, out_units: str | None = None):
+    """Amount → rate (divide by timestep duration; xclim:core/units.py:941)."""
+    dt = _sampling_seconds(amount)
+    taxis = amount.dims.index("time")
+    shape = [1] * amount.data.ndim
+    shape[taxis] = len(dt)
+    u = units2pint(amount)
+    rate_u = u / parse_units("s")
+    data = amount.data / dt.reshape(shape).astype(np.float32)
+    out = amount.copy(data=data)
+    out.attrs = dict(amount.attrs)
+    out.attrs["units"] = rate_u.to_cf()
+    if out_units:
+        out = convert_units_to(out, out_units, context="hydro")
+    return out
+
+
+def amount2lwethickness(amount, out_units: str | None = None):
+    """kg m-2 → mm liquid-water-equivalent thickness (xclim:core/units.py:995)."""
+    out = convert_units_to(amount, "mm", context="hydro")
+    sn = out.attrs.get("standard_name")
+    if sn and not sn.startswith("lwe_"):
+        out.attrs["standard_name"] = "lwe_thickness_of_" + sn
+    if out_units:
+        out = convert_units_to(out, out_units)
+    return out
+
+
+def lwethickness2amount(thickness, out_units: str | None = None):
+    out = convert_units_to(thickness, "kg m-2", context="hydro")
+    sn = out.attrs.get("standard_name")
+    if sn and sn.startswith("lwe_thickness_of_"):
+        out.attrs["standard_name"] = sn[len("lwe_thickness_of_"):]
+    if out_units:
+        out = convert_units_to(out, out_units)
+    return out
+
+
+def rate2flux(rate, density, out_units: str | None = None):
+    """Rate (m/s-like) → mass flux using a density Quantity
+    (xclim:core/units.py:1109)."""
+    rho = str2pint(density) if isinstance(density, str) else density
+    u = units2pint(rate) * rho.units
+    out = rate.copy(data=rate.data * rho.magnitude)
+    out.attrs = dict(rate.attrs)
+    out.attrs["units"] = u.to_cf()
+    if out_units:
+        out = convert_units_to(out, out_units)
+    return out
+
+
+def flux2rate(flux, density, out_units: str | None = None):
+    rho = str2pint(density) if isinstance(density, str) else density
+    u = units2pint(flux) / rho.units
+    out = flux.copy(data=flux.data / rho.magnitude)
+    out.attrs = dict(flux.attrs)
+    out.attrs["units"] = u.to_cf()
+    if out_units:
+        out = convert_units_to(out, out_units)
+    return out

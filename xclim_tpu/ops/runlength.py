@@ -1,0 +1,279 @@
+"""Run-length scan engine: spell statistics over the time axis.
+
+TPU-native replacement for xclim's dual numba/xarray run-length machinery
+(xclim:src/xclim/indices/run_length.py). The reference picks between a numba
+1-D ufunc and an xarray cumsum-reset path by array size (``use_ufunc``,
+run_length.py:33-79); here there is a single implementation: a one-HBM-pass
+``lax.scan`` along time computing cumulative run lengths, composed with the
+static segment-reduction engine for ``freq`` grouping.
+
+Semantics notes (all verified against the reference):
+
+* ``rle(index='first')`` (run_length.py:223) puts each run's total length on
+  its FIRST element, NaN on other run elements, 0 on False positions.
+* Resampling run statistics attributes a boundary-crossing run entirely to the
+  period holding the marked element (reference resamples *after* computing the
+  rle array).
+* NaN inputs are treated as False (run_length.py:199-204).
+
+Convention: `axis` is the time axis; arrays may have any rank.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from xclim_tpu.core.calendar import SegmentSpec
+from xclim_tpu.ops.segments import build_gather_table, segment_reduce
+
+__all__ = [
+    "cumsum_reset",
+    "rle",
+    "rle_statistics",
+    "longest_run",
+    "windowed_run_count",
+    "windowed_run_events",
+    "windowed_max_run_sum",
+    "first_run",
+    "last_run",
+    "suspicious_run",
+]
+
+
+def _flip(x, axis):
+    return jnp.flip(x, axis=axis)
+
+
+def cumsum_reset(x, axis: int = 0, index: str = "last", reset_on_zero: bool = True):
+    """Cumulative sum along `axis`, resetting at zeros (or at NaNs).
+
+    ``100110111 -> 100120123`` (xclim run_length.py:143-172). ``index='first'``
+    runs the scan backward so the largest value sits on the run's first element.
+    NaNs count as 0 (and reset) when ``reset_on_zero``; otherwise only NaNs
+    reset and values accumulate across zeros.
+    """
+    xf = jnp.moveaxis(x, axis, 0)
+    if index == "first":
+        xf = jnp.flip(xf, 0)
+    isfloat = jnp.issubdtype(xf.dtype, jnp.floating)
+    if xf.dtype == jnp.bool_:
+        vals = xf.astype(jnp.float32)
+        reset = ~xf
+    elif reset_on_zero:
+        vals = jnp.nan_to_num(xf.astype(jnp.float32)) if isfloat else xf.astype(jnp.float32)
+        reset = vals == 0
+    else:
+        nan = jnp.isnan(xf)
+        vals = jnp.where(nan, 0.0, xf).astype(jnp.float32)
+        reset = nan
+
+    def step(carry, inp):
+        v, r = inp
+        out = jnp.where(r, v, carry + v)
+        return out, out
+
+    init = jnp.zeros(xf.shape[1:], dtype=jnp.float32)
+    _, out = jax.lax.scan(step, init, (vals, reset))
+    if index == "first":
+        out = jnp.flip(out, 0)
+    return jnp.moveaxis(out, 0, axis)
+
+
+def rle(x, axis: int = 0, index: str = "first"):
+    """Run lengths marked on the boundary element of each run (xclim :223).
+
+    Returns float array: 0 where input falsy, NaN inside runs, run length on
+    the first (or last) element of each run.
+    """
+    b = _as_bool(x)
+    cs = cumsum_reset(b, axis=axis, index=index)
+    bf = jnp.moveaxis(b, axis, 0)
+    csf = jnp.moveaxis(cs, axis, 0)
+    if index == "first":
+        # boundary = first element of run: previous element is False
+        prev = jnp.concatenate([jnp.zeros_like(bf[:1]), bf[:-1]], axis=0)
+        boundary = bf & ~prev
+    else:
+        nxt = jnp.concatenate([bf[1:], jnp.zeros_like(bf[:1])], axis=0)
+        boundary = bf & ~nxt
+    out = jnp.where(boundary, csf, jnp.where(bf, jnp.nan, 0.0))
+    return jnp.moveaxis(out, 0, axis)
+
+
+def _as_bool(x):
+    if x.dtype == jnp.bool_:
+        return x
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        return jnp.nan_to_num(x) > 0
+    return x > 0
+
+
+def _seg_or_full(d, spec, axis, op, skipna=True):
+    if spec is None:
+        if op == "sum":
+            return jnp.nansum(d, axis=axis)
+        if op == "max":
+            allnan = jnp.all(jnp.isnan(d), axis=axis)
+            m = jnp.where(allnan, jnp.nan, jnp.nanmax(jnp.nan_to_num(d, nan=-jnp.inf), axis=axis))
+            return m
+        raise ValueError(op)
+    return segment_reduce(d, spec, op, axis=axis, skipna=skipna)
+
+
+def rle_statistics(x, reducer: str, window: int, axis: int = 0,
+                   spec: SegmentSpec | None = None, index: str = "first"):
+    """Statistic (max/min/mean/sum/median) of run lengths ≥ window (xclim :275).
+
+    Returns 0 where no qualifying run exists.
+    """
+    d = rle(x, axis=axis, index=index)
+    dw = jnp.where(d >= window, d, jnp.nan)
+    if spec is None:
+        red = {"max": lambda a: jnp.nanmax(a, axis=axis, initial=-jnp.inf),
+               "min": lambda a: jnp.nanmin(a, axis=axis, initial=jnp.inf),
+               "sum": lambda a: jnp.nansum(a, axis=axis),
+               "mean": lambda a: jnp.nanmean(a, axis=axis)}[reducer]
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            stat = red(dw)
+        nohit = ~jnp.any(jnp.nan_to_num(d, nan=0.0) >= window, axis=axis)
+        return jnp.where(nohit, 0.0, stat)
+    stat = segment_reduce(dw, spec, reducer, axis=axis)
+    hits = segment_reduce(jnp.nan_to_num(d, nan=0.0) >= window, spec, "any", axis=axis)
+    return jnp.where(hits, stat, 0.0)
+
+
+def longest_run(x, axis: int = 0, spec: SegmentSpec | None = None, index: str = "first"):
+    """Length of the longest run of True values (xclim :338)."""
+    return rle_statistics(x, "max", 1, axis=axis, spec=spec, index=index)
+
+
+def windowed_run_count(x, window: int, axis: int = 0, spec: SegmentSpec | None = None,
+                       index: str = "first"):
+    """Total days inside runs of at least `window` (xclim :437)."""
+    if window == 1 and spec is None:
+        return _as_bool(x).sum(axis=axis)
+    d = rle(x, axis=axis, index=index)
+    d = jnp.where(jnp.nan_to_num(d, nan=0.0) >= window, d, 0.0)
+    return _seg_or_full(jnp.nan_to_num(d, nan=0.0), spec, axis, "sum")
+
+
+def windowed_run_events(x, window: int, axis: int = 0, spec: SegmentSpec | None = None,
+                        index: str = "first"):
+    """Number of distinct runs of at least `window` (xclim :381)."""
+    b = _as_bool(x)
+    if window == 1:
+        bf = jnp.moveaxis(b, axis, 0)
+        prev = jnp.concatenate([jnp.zeros_like(bf[:1]), bf[:-1]], axis=0)
+        starts = (bf & ~prev).astype(jnp.float32)
+        d = jnp.moveaxis(starts, 0, axis)
+    else:
+        r = rle(b, axis=axis, index=index)
+        d = (jnp.nan_to_num(r, nan=0.0) >= window).astype(jnp.float32)
+    return _seg_or_full(d, spec, axis, "sum")
+
+
+def windowed_max_run_sum(x, window: int, axis: int = 0, spec: SegmentSpec | None = None,
+                         index: str = "first"):
+    """Maximum run-sum among runs of at least `window` (xclim :491).
+
+    Input is float (e.g. clipped exceedance); run = consecutive nonzero values.
+    """
+    rse = cumsum_reset(x, axis=axis, index=index)
+    rl = rle(_as_bool(x), axis=axis, index=index)
+    d = jnp.where(jnp.nan_to_num(rl, nan=0.0) >= window, rse, 0.0)
+    out = _seg_or_full(d, spec, axis, "max")
+    return jnp.nan_to_num(out, nan=0.0) if spec is None else out
+
+
+def _boundary_run(x, window, axis, spec, position):
+    """Absolute time index (float; NaN when none) of first/last item of the
+    first/last run of at least `window` (xclim :594-741)."""
+    b = _as_bool(x)
+    d = cumsum_reset(b, axis=axis, index=position)
+    hit = d >= window
+    hf = jnp.moveaxis(hit, axis, 0)  # (T, ...)
+    T = hf.shape[0]
+    pos = jnp.arange(T, dtype=jnp.float32).reshape((T,) + (1,) * (hf.ndim - 1))
+    if spec is None:
+        if position == "first":
+            idx = jnp.where(hf, pos, jnp.inf).min(axis=0)
+        else:
+            idx = jnp.where(hf, pos, -jnp.inf).max(axis=0)
+        has = hf.any(axis=0)
+        return jnp.where(has, idx, jnp.nan)
+    # per-segment
+    table = build_gather_table(spec)
+    tb = jnp.asarray(table)
+    safe = jnp.maximum(tb, 0)
+    g = hf[safe]  # (nseg, maxlen, ...)
+    okpad = (tb >= 0).reshape(tb.shape + (1,) * (g.ndim - 2))
+    g = g & okpad
+    abspos = tb.astype(jnp.float32).reshape(tb.shape + (1,) * (g.ndim - 2))
+    if position == "first":
+        idx = jnp.where(g, abspos, jnp.inf).min(axis=1)
+    else:
+        idx = jnp.where(g, abspos, -jnp.inf).max(axis=1)
+    has = g.any(axis=1)
+    out = jnp.where(has, idx, jnp.nan)
+    return jnp.moveaxis(out, 0, axis)
+
+
+def first_run(x, window: int, axis: int = 0, spec: SegmentSpec | None = None):
+    """Index of the first item of the first run of at least `window` (xclim :643)."""
+    return _boundary_run(x, window, axis, spec, "first")
+
+
+def last_run(x, window: int, axis: int = 0, spec: SegmentSpec | None = None):
+    """Index of the last item of the last run of at least `window` (xclim :693)."""
+    return _boundary_run(x, window, axis, spec, "last")
+
+
+def suspicious_run(x, axis: int = 0, window: int = 10, op: str = "=="):
+    """Boolean mask flagging values inside runs of repeating/thresholded values
+    (xclim run_length.py:1717, used by dataflags).
+
+    op '==' flags runs of identical consecutive values; otherwise runs where
+    ``x op 0`` holds.
+    """
+    xf = jnp.moveaxis(x, axis, 0)
+    if op == "==":
+        prev = jnp.concatenate([jnp.full_like(xf[:1], jnp.nan), xf[:-1]], axis=0)
+        same = (xf == prev) | (jnp.isnan(xf) & jnp.isnan(prev))
+        # run length of consecutive "same" — a run of k sames = k+1 equal values
+        cs = cumsum_reset(same, axis=0, index="last")
+        # mark whole run: backward max of (cs >= window-1) within the equality run
+        hit = cs >= (window - 1)
+        # propagate hit backwards across the run of sames (and one before)
+        def stepb(carry, inp):
+            h, s = inp
+            out = h | (carry & s)
+            return out, out
+
+        init = jnp.zeros(xf.shape[1:], dtype=bool)
+        _, back = jax.lax.scan(stepb, init, (jnp.flip(hit, 0), jnp.flip(same, 0)))
+        back = jnp.flip(back, 0)
+        # also flag the first element of the run (predecessor of first 'same')
+        nxt = jnp.concatenate([back[1:] & same[1:], jnp.zeros_like(back[:1])], axis=0)
+        out = back | nxt
+    else:
+        import operator
+
+        ops = {">": operator.gt, ">=": operator.ge, "<": operator.lt, "<=": operator.le,
+               "!=": operator.ne}
+        b = ops[op](xf, 0)
+        cs = cumsum_reset(b, axis=0, index="last")
+        hit = cs >= window
+
+        def stepb(carry, inp):
+            h, s = inp
+            out = h | (carry & s)
+            return out, out
+
+        init = jnp.zeros(xf.shape[1:], dtype=bool)
+        _, back = jax.lax.scan(stepb, init, (jnp.flip(hit, 0), jnp.flip(b, 0)))
+        out = jnp.flip(back, 0)
+    return jnp.moveaxis(out, 0, axis)

@@ -1,0 +1,235 @@
+"""Segment-reduction engine: resample(time=freq).op as static gathers + dense reductions.
+
+TPU-first replacement for xarray's ``resample`` / dask groupby (reference:
+``resample_map`` xclim:src/xclim/indices/helpers.py:898-976 and the universal
+``da.resample(time=freq).mean()`` pattern). The host builds a static
+``(nseg, maxlen)`` gather table of time indices from a
+:class:`~xclim_tpu.core.calendar.SegmentSpec`; the device does one gather along
+the time axis and a dense masked reduction — fully static shapes, XLA fuses the
+mask+reduce, no scatter.
+
+Convention: the time axis may be any axis; kernels move it to the front
+internally. All reductions are NaN-skipping by default (xarray ``skipna=True``
+semantics) unless stated otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xclim_tpu.core.calendar import SegmentSpec
+
+__all__ = [
+    "build_gather_table",
+    "segment_reduce",
+    "segment_argminmax",
+    "segment_first_last",
+    "rolling_reduce",
+]
+
+
+@functools.lru_cache(maxsize=512)
+def _cached_table(key):
+    raise RuntimeError  # placeholder; tables built in build_gather_table
+
+
+def build_gather_table(spec: SegmentSpec) -> np.ndarray:
+    """(nseg, maxlen) int32 table of time indices per segment, -1 padded.
+
+    Cached on the SegmentSpec object itself (host-side, cheap).
+    """
+    tbl = getattr(spec, "_gather_table", None)
+    if tbl is not None:
+        return tbl
+    nseg = spec.nseg
+    maxlen = int(spec.counts.max()) if nseg else 0
+    tbl = np.full((nseg, maxlen), -1, dtype=np.int32)
+    order = np.arange(len(spec.seg_id), dtype=np.int32)
+    # seg_id is sorted; position within segment:
+    within = order - spec.starts[spec.seg_id]
+    tbl[spec.seg_id, within] = order
+    object.__setattr__(spec, "_gather_table", tbl)
+    return tbl
+
+
+def _moveaxis_front(x, axis):
+    return jnp.moveaxis(x, axis, 0)
+
+
+_IDENTITY = {
+    "sum": 0.0,
+    "mean": 0.0,
+    "max": -jnp.inf,
+    "min": jnp.inf,
+    "any": False,
+    "all": True,
+    "count": 0,
+    "prod": 1.0,
+}
+
+
+def _gather_segments(x, table, axis):
+    """Gather x (time on `axis`) into (..., nseg, maxlen, ...) plus validity mask."""
+    xf = _moveaxis_front(x, axis)  # (T, ...)
+    t = jnp.asarray(table)  # (nseg, maxlen)
+    safe = jnp.maximum(t, 0)
+    g = xf[safe]  # (nseg, maxlen, ...)
+    pad_ok = (t >= 0)
+    extra = (1,) * (g.ndim - 2)
+    pad_ok = pad_ok.reshape(t.shape + extra)
+    return g, pad_ok
+
+
+def segment_reduce(x, spec: SegmentSpec, op: str, axis: int = 0, skipna: bool = True):
+    """resample(time=freq).op(...) over the given axis.
+
+    Parameters
+    ----------
+    x : array with time on `axis`
+    spec : SegmentSpec from resample_segments
+    op : one of sum/mean/max/min/count/any/all/std/var/median/prod
+    skipna : NaN-skipping reduction (xarray default)
+
+    Returns array with time axis replaced by segment axis (length nseg).
+    """
+    table = build_gather_table(spec)
+    g, pad_ok = _gather_segments(x, table, axis)
+    isfloat = jnp.issubdtype(g.dtype, jnp.floating)
+    if isfloat and skipna:
+        valid = pad_ok & ~jnp.isnan(g)
+    else:
+        valid = jnp.broadcast_to(pad_ok, g.shape)
+
+    if op == "count":
+        out = valid.sum(axis=1)
+    elif op in ("sum", "mean"):
+        s = jnp.where(valid, g, 0).sum(axis=1)
+        if op == "sum":
+            out = s
+        else:
+            n = valid.sum(axis=1)
+            out = s / jnp.maximum(n, 1)
+        if isfloat:
+            n = valid.sum(axis=1)
+            out = jnp.where(n > 0, out, jnp.nan)
+    elif op == "prod":
+        out = jnp.where(valid, g, 1).prod(axis=1)
+    elif op == "max":
+        out = jnp.where(valid, g, -jnp.inf).max(axis=1)
+        if isfloat:
+            out = jnp.where(valid.any(axis=1), out, jnp.nan)
+    elif op == "min":
+        out = jnp.where(valid, g, jnp.inf).min(axis=1)
+        if isfloat:
+            out = jnp.where(valid.any(axis=1), out, jnp.nan)
+    elif op == "any":
+        out = jnp.where(valid, g, False).any(axis=1)
+    elif op == "all":
+        out = jnp.where(valid, g, True).all(axis=1)
+    elif op in ("std", "var"):
+        n = valid.sum(axis=1)
+        s = jnp.where(valid, g, 0).sum(axis=1)
+        mu = s / jnp.maximum(n, 1)
+        d2 = jnp.where(valid, (g - jnp.expand_dims(mu, 1)) ** 2, 0).sum(axis=1)
+        var = d2 / jnp.maximum(n, 1)  # ddof=0 (xarray default)
+        out = jnp.where(n > 0, var if op == "var" else jnp.sqrt(var), jnp.nan)
+    elif op == "median":
+        from xclim_tpu.ops.quantile import nan_quantile
+
+        gm = jnp.where(valid, g, jnp.nan)
+        out = nan_quantile(gm, jnp.array([0.5]), axis=1)[0]
+    else:
+        raise ValueError(f"Unknown segment op {op!r}")
+    return jnp.moveaxis(out, 0, axis)
+
+
+def segment_argminmax(x, spec: SegmentSpec, op: str = "max", axis: int = 0):
+    """Absolute time index of per-segment extreme (NaN-skipping).
+
+    Returns (idx, has_valid): idx int32 array (segments on `axis`), index into
+    the original time axis; where no valid value, idx = -1.
+    """
+    table = build_gather_table(spec)
+    g, pad_ok = _gather_segments(x, table, axis)
+    valid = pad_ok & ~jnp.isnan(g)
+    fill = -jnp.inf if op == "max" else jnp.inf
+    gm = jnp.where(valid, g, fill)
+    rel = (jnp.argmax(gm, axis=1) if op == "max" else jnp.argmin(gm, axis=1)).astype(jnp.int32)
+    tbl = jnp.asarray(table)
+    absidx = jnp.take_along_axis(
+        tbl.reshape(tbl.shape + (1,) * (g.ndim - 2)).astype(jnp.int32),
+        rel[:, None], axis=1)[:, 0]
+    has = valid.any(axis=1)
+    absidx = jnp.where(has, absidx, -1)
+    return jnp.moveaxis(absidx, 0, axis), jnp.moveaxis(has, 0, axis)
+
+
+def segment_first_last(x, spec: SegmentSpec, which: str = "first", axis: int = 0):
+    """First/last non-NaN value per segment."""
+    table = build_gather_table(spec)
+    g, pad_ok = _gather_segments(x, table, axis)
+    valid = pad_ok & ~jnp.isnan(g) if jnp.issubdtype(g.dtype, jnp.floating) else jnp.broadcast_to(pad_ok, g.shape)
+    maxlen = g.shape[1]
+    pos = jnp.arange(maxlen).reshape((1, maxlen) + (1,) * (g.ndim - 2))
+    if which == "first":
+        rel = jnp.where(valid, pos, maxlen).min(axis=1)
+        rel = jnp.minimum(rel, maxlen - 1)
+    else:
+        rel = jnp.where(valid, pos, -1).max(axis=1)
+        rel = jnp.maximum(rel, 0)
+    out = jnp.take_along_axis(g, rel[:, None], axis=1)[:, 0]
+    has = valid.any(axis=1)
+    if jnp.issubdtype(g.dtype, jnp.floating):
+        out = jnp.where(has, out, jnp.nan)
+    return jnp.moveaxis(out, 0, axis)
+
+
+def rolling_reduce(x, window: int, op: str, axis: int = 0, min_periods: int | None = None,
+                   center: bool = False):
+    """Rolling-window reduction along `axis` via lax.reduce_window (TPU-native,
+    no cumsum error accumulation). Matches xarray rolling semantics: output
+    aligned to window end (or center), positions with fewer than `min_periods`
+    valid values are NaN.
+    """
+    if min_periods is None:
+        min_periods = window
+    xf = jnp.moveaxis(x, axis, -1)
+    isfloat = jnp.issubdtype(xf.dtype, jnp.floating)
+    nan = jnp.isnan(xf) if isfloat else jnp.zeros_like(xf, dtype=bool)
+    valid = ~nan
+
+    if center:
+        lo = (window - 1) // 2
+        hi = window - 1 - lo
+        padding = [(0, 0)] * (xf.ndim - 1) + [(lo, hi)]
+    else:
+        padding = [(0, 0)] * (xf.ndim - 1) + [(window - 1, 0)]
+    dims = (1,) * (xf.ndim - 1) + (window,)
+    strides = (1,) * xf.ndim
+
+    def rw(arr, init, fn):
+        return jax.lax.reduce_window(arr, init, fn, dims, strides, padding)
+
+    cnt = rw(valid.astype(jnp.float32), 0.0, jax.lax.add)
+    if op in ("sum", "mean"):
+        s = rw(jnp.where(valid, xf, 0).astype(jnp.float32) if isfloat else xf.astype(jnp.float32),
+               0.0, jax.lax.add)
+        out = s if op == "sum" else s / jnp.maximum(cnt, 1)
+    elif op == "max":
+        out = rw(jnp.where(valid, xf, -jnp.inf), -jnp.inf, jax.lax.max)
+    elif op == "min":
+        out = rw(jnp.where(valid, xf, jnp.inf), jnp.inf, jax.lax.min)
+    elif op == "std" or op == "var":
+        s = rw(jnp.where(valid, xf, 0).astype(jnp.float32), 0.0, jax.lax.add)
+        mu = s / jnp.maximum(cnt, 1)
+        s2 = rw(jnp.where(valid, xf * xf, 0).astype(jnp.float32), 0.0, jax.lax.add)
+        var = jnp.maximum(s2 / jnp.maximum(cnt, 1) - mu * mu, 0.0)
+        out = var if op == "var" else jnp.sqrt(var)
+    else:
+        raise ValueError(f"Unknown rolling op {op!r}")
+    out = jnp.where(cnt >= min_periods, out, jnp.nan)
+    return jnp.moveaxis(out, -1, axis)
