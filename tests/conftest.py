@@ -31,9 +31,9 @@ def timeseries():
 def _series_fixture(variable, units=None):
     @pytest.fixture
     def _fix():
-        def _make(values, start="2000-01-01", freq="D", calendar="standard", units_=units):
+        def _make(values, start="2000-01-01", freq="D", calendar="standard", units=units):
             return test_timeseries(values, variable=variable, start=start, freq=freq,
-                                   calendar=calendar, units=units_)
+                                   calendar=calendar, units=units)
         return _make
     return _fix
 

@@ -169,13 +169,21 @@ class TestRunLength:
         x[5:10] = True   # 5-day run in Jan
         x[29:35] = True  # 6-day run crossing Jan→Feb, starts in Jan
         x[40:42] = True  # 2-day run in Feb
+        # default resample-before-rl: the Jan→Feb run is split at the boundary
         out = np.asarray(rl.windowed_run_count(jnp.asarray(x), 3, spec=spec))
-        # runs attributed to period of their first day (reference semantics)
-        np.testing.assert_allclose(out, [11, 0])
-        ev = np.asarray(rl.windowed_run_events(jnp.asarray(x), 2, spec=spec))
-        np.testing.assert_allclose(ev, [2, 1])
+        np.testing.assert_allclose(out, [5, 4])
         lr = np.asarray(rl.longest_run(jnp.asarray(x), spec=spec))
-        np.testing.assert_allclose(lr, [6, 2])
+        np.testing.assert_allclose(lr, [5, 4])
+        # resample-after-rl: whole run attributed to the period of its first day
+        out2 = np.asarray(rl.windowed_run_count(jnp.asarray(x), 3, spec=spec,
+                                                resample_before_rl=False))
+        np.testing.assert_allclose(out2, [11, 0])
+        ev2 = np.asarray(rl.windowed_run_events(jnp.asarray(x), 2, spec=spec,
+                                                resample_before_rl=False))
+        np.testing.assert_allclose(ev2, [2, 1])
+        lr2 = np.asarray(rl.longest_run(jnp.asarray(x), spec=spec,
+                                        resample_before_rl=False))
+        np.testing.assert_allclose(lr2, [6, 2])
 
     def test_windowed_max_run_sum(self):
         x = jnp.array([0, 2.0, 3.0, 0, 5.0, 0], dtype=jnp.float32)

@@ -45,13 +45,32 @@ def _flip(x, axis):
     return jnp.flip(x, axis=axis)
 
 
-def cumsum_reset(x, axis: int = 0, index: str = "last", reset_on_zero: bool = True):
+def segment_boundaries(spec: SegmentSpec, index: str = "last") -> jnp.ndarray:
+    """(T,) bool mask of positions where a scan must reset so runs don't cross
+    resample periods (the reference's resample-*before*-run-length semantics,
+    xclim run_length.py:87-133). For backward scans (index='first') the mask
+    marks segment ends instead of starts."""
+    import numpy as np
+
+    n = len(spec.seg_id)
+    m = np.zeros(n, dtype=bool)
+    if index == "last":
+        m[spec.starts] = True
+    else:
+        ends = np.concatenate([spec.starts[1:] - 1, [n - 1]])
+        m[ends] = True
+    return jnp.asarray(m)
+
+
+def cumsum_reset(x, axis: int = 0, index: str = "last", reset_on_zero: bool = True,
+                 reset_at=None):
     """Cumulative sum along `axis`, resetting at zeros (or at NaNs).
 
     ``100110111 -> 100120123`` (xclim run_length.py:143-172). ``index='first'``
     runs the scan backward so the largest value sits on the run's first element.
     NaNs count as 0 (and reset) when ``reset_on_zero``; otherwise only NaNs
-    reset and values accumulate across zeros.
+    reset and values accumulate across zeros. ``reset_at`` is an optional (T,)
+    bool mask of positions where the carry is dropped (segment boundaries).
     """
     xf = jnp.moveaxis(x, axis, 0)
     if index == "first":
@@ -68,6 +87,13 @@ def cumsum_reset(x, axis: int = 0, index: str = "last", reset_on_zero: bool = Tr
         vals = jnp.where(nan, 0.0, xf).astype(jnp.float32)
         reset = nan
 
+    if reset_at is not None:
+        ra = reset_at
+        if index == "first":
+            ra = jnp.flip(ra, 0)
+        ra = ra.reshape((xf.shape[0],) + (1,) * (xf.ndim - 1))
+        reset = reset | jnp.broadcast_to(ra, xf.shape)
+
     def step(carry, inp):
         v, r = inp
         out = jnp.where(r, v, carry + v)
@@ -80,23 +106,32 @@ def cumsum_reset(x, axis: int = 0, index: str = "last", reset_on_zero: bool = Tr
     return jnp.moveaxis(out, 0, axis)
 
 
-def rle(x, axis: int = 0, index: str = "first"):
+def rle(x, axis: int = 0, index: str = "first", reset_spec: SegmentSpec | None = None):
     """Run lengths marked on the boundary element of each run (xclim :223).
 
     Returns float array: 0 where input falsy, NaN inside runs, run length on
-    the first (or last) element of each run.
+    the first (or last) element of each run. With ``reset_spec``, runs are
+    split at resample-period boundaries (resample-before-rl semantics) and the
+    marker sits on the within-period boundary element.
     """
     b = _as_bool(x)
-    cs = cumsum_reset(b, axis=axis, index=index)
+    reset_at = None if reset_spec is None else segment_boundaries(reset_spec, index)
+    cs = cumsum_reset(b, axis=axis, index=index, reset_at=reset_at)
     bf = jnp.moveaxis(b, axis, 0)
     csf = jnp.moveaxis(cs, axis, 0)
     if index == "first":
-        # boundary = first element of run: previous element is False
+        # marker = first element of run: previous element is False (or period start)
         prev = jnp.concatenate([jnp.zeros_like(bf[:1]), bf[:-1]], axis=0)
         boundary = bf & ~prev
+        if reset_spec is not None:
+            starts = segment_boundaries(reset_spec, "last")  # period starts
+            boundary = boundary | (bf & starts.reshape((-1,) + (1,) * (bf.ndim - 1)))
     else:
         nxt = jnp.concatenate([bf[1:], jnp.zeros_like(bf[:1])], axis=0)
         boundary = bf & ~nxt
+        if reset_spec is not None:
+            ends = segment_boundaries(reset_spec, "first")  # period ends
+            boundary = boundary | (bf & ends.reshape((-1,) + (1,) * (bf.ndim - 1)))
     out = jnp.where(boundary, csf, jnp.where(bf, jnp.nan, 0.0))
     return jnp.moveaxis(out, 0, axis)
 
@@ -122,12 +157,14 @@ def _seg_or_full(d, spec, axis, op, skipna=True):
 
 
 def rle_statistics(x, reducer: str, window: int, axis: int = 0,
-                   spec: SegmentSpec | None = None, index: str = "first"):
+                   spec: SegmentSpec | None = None, index: str = "first",
+                   resample_before_rl: bool = True):
     """Statistic (max/min/mean/sum/median) of run lengths ≥ window (xclim :275).
 
     Returns 0 where no qualifying run exists.
     """
-    d = rle(x, axis=axis, index=index)
+    d = rle(x, axis=axis, index=index,
+            reset_spec=spec if resample_before_rl else None)
     dw = jnp.where(d >= window, d, jnp.nan)
     if spec is None:
         red = {"max": lambda a: jnp.nanmax(a, axis=axis, initial=-jnp.inf),
@@ -146,23 +183,26 @@ def rle_statistics(x, reducer: str, window: int, axis: int = 0,
     return jnp.where(hits, stat, 0.0)
 
 
-def longest_run(x, axis: int = 0, spec: SegmentSpec | None = None, index: str = "first"):
+def longest_run(x, axis: int = 0, spec: SegmentSpec | None = None, index: str = "first",
+                resample_before_rl: bool = True):
     """Length of the longest run of True values (xclim :338)."""
-    return rle_statistics(x, "max", 1, axis=axis, spec=spec, index=index)
+    return rle_statistics(x, "max", 1, axis=axis, spec=spec, index=index,
+                          resample_before_rl=resample_before_rl)
 
 
 def windowed_run_count(x, window: int, axis: int = 0, spec: SegmentSpec | None = None,
-                       index: str = "first"):
+                       index: str = "first", resample_before_rl: bool = True):
     """Total days inside runs of at least `window` (xclim :437)."""
     if window == 1 and spec is None:
         return _as_bool(x).sum(axis=axis)
-    d = rle(x, axis=axis, index=index)
+    d = rle(x, axis=axis, index=index,
+            reset_spec=spec if resample_before_rl else None)
     d = jnp.where(jnp.nan_to_num(d, nan=0.0) >= window, d, 0.0)
     return _seg_or_full(jnp.nan_to_num(d, nan=0.0), spec, axis, "sum")
 
 
 def windowed_run_events(x, window: int, axis: int = 0, spec: SegmentSpec | None = None,
-                        index: str = "first"):
+                        index: str = "first", resample_before_rl: bool = True):
     """Number of distinct runs of at least `window` (xclim :381)."""
     b = _as_bool(x)
     if window == 1:
@@ -171,29 +211,34 @@ def windowed_run_events(x, window: int, axis: int = 0, spec: SegmentSpec | None 
         starts = (bf & ~prev).astype(jnp.float32)
         d = jnp.moveaxis(starts, 0, axis)
     else:
-        r = rle(b, axis=axis, index=index)
+        r = rle(b, axis=axis, index=index,
+                reset_spec=spec if resample_before_rl else None)
         d = (jnp.nan_to_num(r, nan=0.0) >= window).astype(jnp.float32)
     return _seg_or_full(d, spec, axis, "sum")
 
 
 def windowed_max_run_sum(x, window: int, axis: int = 0, spec: SegmentSpec | None = None,
-                         index: str = "first"):
+                         index: str = "first", resample_before_rl: bool = True):
     """Maximum run-sum among runs of at least `window` (xclim :491).
 
     Input is float (e.g. clipped exceedance); run = consecutive nonzero values.
     """
-    rse = cumsum_reset(x, axis=axis, index=index)
-    rl = rle(_as_bool(x), axis=axis, index=index)
+    reset_spec = spec if resample_before_rl else None
+    reset_at = None if reset_spec is None else segment_boundaries(reset_spec, index)
+    rse = cumsum_reset(x, axis=axis, index=index, reset_at=reset_at)
+    rl = rle(_as_bool(x), axis=axis, index=index, reset_spec=reset_spec)
     d = jnp.where(jnp.nan_to_num(rl, nan=0.0) >= window, rse, 0.0)
     out = _seg_or_full(d, spec, axis, "max")
     return jnp.nan_to_num(out, nan=0.0) if spec is None else out
 
 
-def _boundary_run(x, window, axis, spec, position):
+def _boundary_run(x, window, axis, spec, position, resample_before_rl=True):
     """Absolute time index (float; NaN when none) of first/last item of the
     first/last run of at least `window` (xclim :594-741)."""
     b = _as_bool(x)
-    d = cumsum_reset(b, axis=axis, index=position)
+    reset_at = None if (spec is None or not resample_before_rl) else \
+        segment_boundaries(spec, position)
+    d = cumsum_reset(b, axis=axis, index=position, reset_at=reset_at)
     hit = d >= window
     hf = jnp.moveaxis(hit, axis, 0)  # (T, ...)
     T = hf.shape[0]
@@ -222,14 +267,16 @@ def _boundary_run(x, window, axis, spec, position):
     return jnp.moveaxis(out, 0, axis)
 
 
-def first_run(x, window: int, axis: int = 0, spec: SegmentSpec | None = None):
+def first_run(x, window: int, axis: int = 0, spec: SegmentSpec | None = None,
+              resample_before_rl: bool = True):
     """Index of the first item of the first run of at least `window` (xclim :643)."""
-    return _boundary_run(x, window, axis, spec, "first")
+    return _boundary_run(x, window, axis, spec, "first", resample_before_rl)
 
 
-def last_run(x, window: int, axis: int = 0, spec: SegmentSpec | None = None):
+def last_run(x, window: int, axis: int = 0, spec: SegmentSpec | None = None,
+             resample_before_rl: bool = True):
     """Index of the last item of the last run of at least `window` (xclim :693)."""
-    return _boundary_run(x, window, axis, spec, "last")
+    return _boundary_run(x, window, axis, spec, "last", resample_before_rl)
 
 
 def suspicious_run(x, axis: int = 0, window: int = 10, op: str = "=="):
