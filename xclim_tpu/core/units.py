@@ -509,6 +509,9 @@ def check_units(val, dim: str | None) -> None:
         return
     if str(dim) in ("[]", ""):
         expected, hydro = _ZERO_DIM, False
+    elif "[" not in str(dim):
+        # literal unit string declaration, e.g. declare_units(sum_thresh="K days")
+        expected, hydro = parse_units(str(dim)).dims, False
     else:
         expected, hydro = _parse_dimensionality(str(dim))
     u = units2pint(val) if not isinstance(val, (int, float)) else DIMENSIONLESS

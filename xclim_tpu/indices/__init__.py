@@ -1,4 +1,5 @@
 """Index functions (reference: xclim:src/xclim/indices/__init__.py)."""
 
 from xclim_tpu.indices._simple import *  # noqa: F401,F403
+from xclim_tpu.indices._threshold import *  # noqa: F401,F403
 from xclim_tpu.indices.generic import *  # noqa: F401,F403
