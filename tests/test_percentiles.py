@@ -1,0 +1,119 @@
+"""percentile_doy / resample_doy / bootstrap (reference semantics:
+xclim:src/xclim/core/calendar.py:396, core/bootstrapping.py,
+tests/test_bootstrapping.py)."""
+
+import numpy as np
+import pytest
+
+from xclim_tpu.core.percentiles import percentile_doy, resample_doy
+from xclim_tpu.indices import tg90p, tn10p, tx90p, days_over_precip_thresh
+
+
+class TestPercentileDoy:
+    def test_constant_series(self, tas_series):
+        tas = tas_series(np.full(365 * 4 + 1, 280.0), start="2000-01-01")
+        p = percentile_doy(tas, window=5, per=90)
+        assert p.dims == ("dayofyear", "percentiles")
+        assert p.shape[0] == 366
+        np.testing.assert_allclose(p.values, 280.0, rtol=1e-6)
+        assert p.attrs["climatology_bounds"] == ["2000-01-01", "2003-12-31"]
+        assert p.attrs["window"] == 5
+
+    def test_seasonal_values(self, tas_series):
+        # daily cycle: values equal to doy → p50 for doy d ≈ d
+        n = 365 * 4
+        doys = np.concatenate([np.arange(1, 366)] * 4).astype(float)
+        tas = tas_series(doys + 273.15, start="2001-01-01")
+        p = percentile_doy(tas, window=5, per=50)
+        vals = np.asarray(p.values)[:, 0] - 273.15
+        # away from edges, median of window [d-2, d+2] over years = d
+        np.testing.assert_allclose(vals[10:350], np.arange(11, 351), atol=0.5)
+
+    def test_multiple_percentiles(self, tas_series):
+        rng = np.random.default_rng(42)
+        tas = tas_series(rng.normal(280, 5, 365 * 3).astype(np.float32),
+                         start="2001-01-01")
+        p = percentile_doy(tas, window=5, per=[10, 50, 90])
+        assert p.shape == (365, 3)
+        v = np.asarray(p.values)
+        assert (v[:, 0] <= v[:, 1]).all() and (v[:, 1] <= v[:, 2]).all()
+
+    def test_resample_doy(self, tas_series):
+        tas = tas_series(np.zeros(730), start="2001-01-01")
+        p = percentile_doy(tas, window=5, per=50)
+        p50 = p.isel(percentiles=0)
+        ts = resample_doy(p50, tas)
+        assert ts.dims == ("time",)
+        assert ts.shape[0] == 730
+
+
+class TestPercentileIndices:
+    def test_tg90p_simple(self, tas_series):
+        rng = np.random.default_rng(0)
+        tas = tas_series(rng.normal(280, 5, 365 * 4).astype(np.float32),
+                         start="2001-01-01")
+        p90 = percentile_doy(tas, window=5, per=90).isel(percentiles=0)
+        out = tg90p(tas, p90, freq="YS")
+        assert out.attrs["units"] == "d"
+        # ~10% of days above the 90th percentile
+        v = np.asarray(out.values)
+        assert 365 * 0.04 < v.mean() < 365 * 0.20
+
+    def test_tn10p(self, tasmin_series):
+        rng = np.random.default_rng(1)
+        tn = tasmin_series(rng.normal(275, 5, 365 * 4).astype(np.float32),
+                           start="2001-01-01")
+        p10 = percentile_doy(tn, window=5, per=10).isel(percentiles=0)
+        out = tn10p(tn, p10, freq="MS")
+        assert len(out.time) == 48
+
+
+class TestBootstrap:
+    @pytest.mark.parametrize("use_func,var,per,expected_higher", [
+        ("tx90p", "tasmax", 90, True),
+        ("tn10p", "tasmin", 10, True),
+    ])
+    def test_bootstrap_increases_inbase(self, use_func, var, per, expected_higher,
+                                        tasmax_series, tasmin_series):
+        """Bootstrapped in-base exceedance counts are >= plain counts on average
+        (discontinuity-smoothing property; reference tests/test_bootstrapping.py:43)."""
+        rng = np.random.default_rng(7)
+        n = 365 * 6
+        series = {"tasmax": tasmax_series, "tasmin": tasmin_series}[var]
+        da = series(rng.normal(285, 4, n).astype(np.float32), start="2001-01-01")
+        p = percentile_doy(da, window=5, per=per).isel(percentiles=0)
+        fn = {"tx90p": tx90p, "tn10p": tn10p}[use_func]
+        kw = {var: da, f"{var}_per": p}
+        plain = fn(**kw, freq="YS", bootstrap=False)
+        boot = fn(**kw, freq="YS", bootstrap=True)
+        pv = np.asarray(plain.values)
+        bv = np.asarray(boot.values)
+        assert bv.shape == pv.shape
+        # exceedances should increase on average for in-base years
+        assert bv.mean() > pv.mean()
+
+    def test_bootstrap_no_clim_bounds_raises(self, tasmax_series):
+        from xclim_tpu.core.dataarray import ClimArray
+        import jax.numpy as jnp
+
+        da = tasmax_series(np.random.rand(365).astype(np.float32), start="2001-01-01")
+        fake_per = ClimArray(jnp.zeros(365), ("dayofyear",),
+                             {"dayofyear": np.arange(1, 366)}, {"units": "K"}, "per")
+        with pytest.raises(KeyError):
+            tx90p(da, fake_per, freq="YS", bootstrap=True)
+
+    def test_bootstrap_out_of_base_unchanged(self, tasmax_series):
+        rng = np.random.default_rng(3)
+        n = 365 * 8
+        da = tasmax_series(rng.normal(285, 4, n).astype(np.float32), start="2001-01-01")
+        # climatology on first 4 years only
+        clim = da.sel_time(mask=da.time.year <= 2004)
+        p = percentile_doy(clim, window=5, per=90).isel(percentiles=0)
+        plain = tx90p(da, p, freq="YS", bootstrap=False)
+        boot = tx90p(da, p, freq="YS", bootstrap=True)
+        pv = np.asarray(plain.values)
+        bv = np.asarray(boot.values)
+        # out-of-base years (2005+) identical
+        np.testing.assert_allclose(bv[4:], pv[4:])
+        # in-base years changed
+        assert not np.allclose(bv[:4], pv[:4])

@@ -2,4 +2,7 @@
 
 from xclim_tpu.indices._simple import *  # noqa: F401,F403
 from xclim_tpu.indices._threshold import *  # noqa: F401,F403
+from xclim_tpu.indices._multivariate import *  # noqa: F401,F403
+from xclim_tpu.indices import converters  # noqa: F401
+from xclim_tpu.indices.converters import *  # noqa: F401,F403
 from xclim_tpu.indices.generic import *  # noqa: F401,F403
