@@ -1,0 +1,137 @@
+"""Indicator engine tests (reference: xclim tests/test_indicators.py)."""
+
+import numpy as np
+import pytest
+
+import xclim_tpu
+from xclim_tpu import atmos
+from xclim_tpu.core._exceptions import MissingVariableError, ValidationError
+from xclim_tpu.core.dataarray import ClimDataset
+from xclim_tpu.core.indicator import registry
+from xclim_tpu.core.options import set_options
+
+
+class TestCallPipeline:
+    def test_basic_call(self, tas_series):
+        tas = tas_series(np.full(365, 280.0), start="2001-01-01")
+        out = atmos.tg_mean(tas, freq="MS")
+        assert out.name == "tg_mean"
+        assert out.attrs["units"] == "K"
+        assert out.attrs["long_name"] == "Mean daily mean temperature"
+        assert "monthly mean of daily mean temperature" in out.attrs["description"].lower()
+        assert out.attrs["cell_methods"] == "time: mean over days"
+        assert "tg_mean" in out.attrs["history"]
+        np.testing.assert_allclose(out.values, 280.0)
+
+    def test_units_conversion_output(self, tas_series):
+        tas = tas_series(np.full(365, 20.0), units="degC", start="2001-01-01")
+        out = atmos.tg_mean(tas, freq="YS")
+        # declared output units are K
+        assert out.attrs["units"] == "K"
+        np.testing.assert_allclose(out.values, 293.15, rtol=1e-6)
+
+    def test_threshold_formatting(self, tasmax_series):
+        tx = tasmax_series(np.full(365, 300.0), start="2001-01-01")
+        out = atmos.tx_days_above(tx, thresh="25.0 degC", freq="YS")
+        assert "25.0 degC" in out.attrs["long_name"]
+        assert out.attrs["units"] in ("d", "days")
+
+    def test_missing_masking(self, tas_series):
+        vals = np.full(365, 280.0)
+        vals[40] = np.nan  # a NaN in February
+        tas = tas_series(vals, start="2001-01-01")
+        out = atmos.tg_mean(tas, freq="MS")
+        v = np.asarray(out.values)
+        assert not np.isnan(v[0])
+        assert np.isnan(v[1])  # February masked by missing_any
+
+    def test_missing_skip_option(self, tas_series):
+        vals = np.full(365, 280.0)
+        vals[40] = np.nan
+        tas = tas_series(vals, start="2001-01-01")
+        with set_options(check_missing="skip"):
+            out = atmos.tg_mean(tas, freq="MS")
+        assert not np.isnan(np.asarray(out.values)).any()
+
+    def test_dataset_input(self, tas_series):
+        tas = tas_series(np.full(365, 280.0), start="2001-01-01")
+        ds = ClimDataset({"tas": tas})
+        out = atmos.tg_mean(ds=ds, freq="YS")
+        np.testing.assert_allclose(out.values, 280.0)
+
+    def test_variable_name_binding(self, tas_series):
+        tas = tas_series(np.full(365, 280.0), start="2001-01-01")
+        ds = ClimDataset({"mon_tas": tas})
+        out = atmos.tg_mean(tas="mon_tas", ds=ds, freq="YS")
+        np.testing.assert_allclose(out.values, 280.0)
+
+    def test_missing_variable_error(self):
+        with pytest.raises(MissingVariableError):
+            atmos.tg_mean(ds=ClimDataset({}), freq="YS")
+
+    def test_bad_freq_datacheck(self, tas_series):
+        tas = tas_series(np.full(24, 280.0), start="2001-01-01", freq="h")
+        with pytest.raises(ValidationError):
+            atmos.tg_mean(tas, freq="YS")
+
+    def test_cfcheck_warns(self, tas_series):
+        tas = tas_series(np.full(365, 280.0), start="2001-01-01")
+        tas.attrs["standard_name"] = "wrong_name"
+        with pytest.warns(UserWarning):
+            atmos.tg_mean(tas, freq="YS")
+
+    def test_as_dataset(self, tas_series):
+        tas = tas_series(np.full(365, 280.0), start="2001-01-01")
+        with set_options(as_dataset=True):
+            out = atmos.tg_mean(tas, freq="YS")
+        assert isinstance(out, ClimDataset)
+        assert "tg_mean" in out
+
+
+class TestRegistry:
+    def test_registered(self):
+        assert "TG_MEAN" in registry
+        assert "TX90P" in registry
+        assert registry["TG_MEAN"].realm == "atmos"
+
+    def test_json_export(self):
+        meta = registry["TX_DAYS_ABOVE"].json()
+        assert meta["identifier"] == "tx_days_above"
+        assert "tasmax" in meta["variables"]
+        assert "thresh" in meta["parameters"]
+
+
+class TestLocales:
+    def test_french(self, tas_series):
+        tas = tas_series(np.full(365, 280.0), start="2001-01-01")
+        with set_options(metadata_locales=["fr"]):
+            out = atmos.tg_mean(tas, freq="MS")
+        assert "long_name_fr" in out.attrs
+        assert "mensuelle" in out.attrs["long_name_fr"]
+
+
+class TestInjectedParams:
+    def test_injected_op(self, tasmin_series, tasmax_series):
+        tn = tasmin_series(np.full(365, 280.0), start="2001-01-01")
+        tx = tasmax_series(np.full(365, 290.0), start="2001-01-01")
+        out = atmos.daily_temperature_range(tasmin=tn, tasmax=tx, freq="YS")
+        np.testing.assert_allclose(out.values, 10.0)
+        out2 = atmos.max_daily_temperature_range(tasmin=tn, tasmax=tx, freq="YS")
+        np.testing.assert_allclose(out2.values, 10.0)
+
+    def test_freshet(self, tas_series):
+        vals = np.full(365, 270.0)
+        vals[59:] = 280
+        tas = tas_series(vals, start="2001-01-01")
+        out = atmos.freshet_start(tas, freq="YS")
+        assert out.values[0] == 60
+
+
+class TestIndexing:
+    def test_indexer_kwarg(self, tasmin_series):
+        vals = np.full(365, 275.0)
+        vals[0:31] = 270  # January frost
+        vals[181:212] = 270  # July frost
+        tn = tasmin_series(vals, start="2001-01-01")
+        out = atmos.frost_days(tn, freq="YS", month=1)
+        assert out.values[0] == 31

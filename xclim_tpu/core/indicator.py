@@ -1,0 +1,695 @@
+"""Indicator engine: metadata + validation wrapper around index functions
+(reference: xclim:src/xclim/core/indicator.py, 1965 LoC).
+
+Design departure from the reference (deliberate, TPU-first): no metaclass
+subclass-per-instance machinery and no docstring parsing — an Indicator is a
+declarative object built from explicit metadata plus signature introspection of
+its compute function. The call pipeline is identical in behavior:
+
+    parse args → bind dataset variables → health checks → compute →
+    unit conversion → missing-value mask → attribute templating/i18n
+
+(reference call pipeline: core/indicator.py:865-945, _postprocess :1522-1550,
+_update_attrs :1085-1148).
+"""
+
+from __future__ import annotations
+
+import inspect
+import warnings
+import weakref
+from collections import namedtuple
+from enum import IntEnum
+from typing import Any, Callable
+
+import numpy as np
+
+from xclim_tpu.core import formatting
+from xclim_tpu.core._exceptions import MissingVariableError, ValidationError
+from xclim_tpu.core.calendar import parse_offset
+from xclim_tpu.core.cfchecks import cfcheck_from_name
+from xclim_tpu.core.dataarray import ClimArray, ClimDataset
+from xclim_tpu.core.datachecks import check_freq
+from xclim_tpu.core.locales import TRANSLATABLE_ATTRS, get_local_attrs, get_local_formatter
+from xclim_tpu.core.options import (
+    AS_DATASET,
+    CHECK_MISSING,
+    MISSING_METHODS,
+    MISSING_OPTIONS,
+    OPTIONS,
+    set_options,
+)
+from xclim_tpu.core.units import convert_units_to, units2pint
+from xclim_tpu.core.variables import VARIABLES
+
+__all__ = [
+    "Daily",
+    "Hourly",
+    "Indicator",
+    "IndexingIndicator",
+    "InputKind",
+    "Parameter",
+    "ReducingIndicator",
+    "ResamplingIndicator",
+    "ResamplingIndicatorWithIndexing",
+    "registry",
+    "iter_indicators",
+    "build_indicator_module",
+    "build_indicator_module_from_yaml",
+]
+
+registry: dict[str, "Indicator"] = {}
+
+
+class InputKind(IntEnum):
+    """Taxonomy of indicator inputs (xclim:core/utils.py:560-657)."""
+
+    VARIABLE = 0
+    OPTIONAL_VARIABLE = 1
+    QUANTIFIED = 2
+    FREQ_STR = 3
+    NUMBER = 4
+    STRING = 5
+    DAY_OF_YEAR = 6
+    DATE = 7
+    NUMBER_SEQUENCE = 8
+    BOOL = 9
+    DICT = 10
+    KWARGS = 50
+    DATASET = 70
+    OTHER_PARAMETER = 99
+
+
+_empty = inspect.Parameter.empty
+
+
+class Parameter:
+    """Metadata for one indicator parameter (xclim:core/indicator.py:191)."""
+
+    __slots__ = ("kind", "default", "description", "units", "choices", "value")
+
+    def __init__(self, kind, default=_empty, description="", units=None, choices=None,
+                 value=_empty):
+        self.kind = kind
+        self.default = default
+        self.description = description
+        self.units = units
+        self.choices = choices
+        self.value = value
+
+    @property
+    def injected(self):
+        return self.value is not _empty
+
+    def asdict(self):
+        out = {"kind": int(self.kind), "description": self.description}
+        if self.default is not _empty:
+            out["default"] = self.default
+        if self.units:
+            out["units"] = self.units
+        if self.choices:
+            out["choices"] = list(self.choices)
+        if self.injected:
+            out["value"] = self.value
+        return out
+
+    def __repr__(self):
+        return f"Parameter(kind={self.kind!r}, default={self.default!r})"
+
+
+def infer_kind_from_parameter(param: inspect.Parameter) -> InputKind:
+    """Guess the InputKind from a signature parameter
+    (xclim:core/utils.py:659)."""
+    name = param.name
+    ann = param.annotation
+    if name == "ds":
+        return InputKind.DATASET
+    if param.kind == inspect.Parameter.VAR_KEYWORD:
+        return InputKind.KWARGS
+    if name == "freq":
+        return InputKind.FREQ_STR
+    ann_str = str(ann)
+    if "ClimArray" in ann_str:
+        if "None" in ann_str or param.default is None:
+            return InputKind.OPTIONAL_VARIABLE
+        return InputKind.VARIABLE
+    if name in VARIABLES or name.endswith("_per"):
+        return InputKind.VARIABLE if param.default is _empty else InputKind.OPTIONAL_VARIABLE
+    if isinstance(param.default, bool) or ann is bool:
+        return InputKind.BOOL
+    if isinstance(param.default, str) and any(u in str(param.default) for u in
+                                              ("degC", "mm", "K", "m s-1", "kg", "%",
+                                               "cm", "km/h", "Pa", "W")):
+        return InputKind.QUANTIFIED
+    if isinstance(param.default, str) and len(str(param.default)) == 5 and \
+            str(param.default)[2] == "-":
+        return InputKind.DAY_OF_YEAR
+    if isinstance(param.default, (int, float)):
+        return InputKind.NUMBER
+    if isinstance(param.default, str):
+        return InputKind.STRING
+    return InputKind.OTHER_PARAMETER
+
+
+_ATTRS_TO_FORMAT = ["long_name", "description", "comment", "cell_methods"]
+# output attrs recognized in cf_attrs entries (xclim:core/indicator.py _cf_names)
+_CF_NAMES = ["var_name", "standard_name", "long_name", "units", "units_metadata",
+             "cell_methods", "description", "comment"]
+
+
+class Indicator:
+    """A climate indicator: metadata + checks around a compute function
+    (xclim:core/indicator.py:360+).
+
+    Construct with keyword metadata; the instance is callable and registered.
+    """
+
+    realm: str | None = None
+    identifier: str | None = None
+    missing = "from_context"
+    missing_options: dict | None = None
+    src_freq: str | list[str] | None = None
+    context = "none"
+    allowed_periods: list[str] | None = None
+
+    title = ""
+    abstract = ""
+    keywords = ""
+    references = ""
+    notes = ""
+
+    def __init__(self, **kwds):
+        if "compute" not in kwds and getattr(self, "compute", None) is None:
+            raise AttributeError("An indicator needs a `compute` function.")
+        compute = kwds.pop("compute", getattr(self, "compute", None))
+        self.compute = compute
+
+        # flat cf attrs → single-output cf_attrs list
+        cf_attrs = kwds.pop("cf_attrs", None)
+        if cf_attrs is None:
+            flat = {k: kwds.pop(k) for k in list(kwds) if k in _CF_NAMES}
+            cf_attrs = [flat] if flat else [{}]
+        self.cf_attrs = cf_attrs
+
+        for k, v in kwds.items():
+            if k == "parameters":
+                continue
+            setattr(self, k, v)
+
+        if self.identifier is None:
+            raise AttributeError("An indicator needs an `identifier`.")
+        for entry in self.cf_attrs:
+            entry.setdefault("var_name", self.identifier)
+
+        # --- parameter introspection (replaces docstring parsing,
+        # xclim:core/indicator.py:549 _parse_indice) ---
+        self._sig = inspect.signature(self.compute)
+        self.parameters: dict[str, Parameter] = {}
+        in_units = getattr(self.compute, "in_units", {})
+        for name, p in self._sig.parameters.items():
+            kind = infer_kind_from_parameter(p)
+            self.parameters[name] = Parameter(
+                kind=kind, default=p.default,
+                units=in_units.get(name),
+            )
+        overrides = kwds.get("parameters", {})
+        for name, override in overrides.items():
+            if name not in self.parameters:
+                # new injected parameter (passed through to compute via kwargs)
+                self.parameters[name] = Parameter(kind=InputKind.OTHER_PARAMETER)
+            param = self.parameters[name]
+            if isinstance(override, dict):
+                for k, v in override.items():
+                    setattr(param, k, v)
+            else:
+                param.value = override
+        self._variables = [n for n, p in self.parameters.items()
+                           if p.kind in (InputKind.VARIABLE, InputKind.OPTIONAL_VARIABLE)
+                           and not p.injected]
+
+        self._registry_id = f"{self.realm or 'generic'}.{self.identifier.upper()}"
+        registry[self.identifier.upper()] = self
+
+    # ------------------------------------------------------------------
+    # call pipeline (xclim:core/indicator.py:865-945)
+    # ------------------------------------------------------------------
+    def __call__(self, *args, ds: ClimDataset | None = None, **kwds):
+        das, params = self._parse_variables_from_call(args, kwds, ds)
+        self._preprocess_and_checks(das, params)
+        call_kwargs = {**das}
+        for name, p in self.parameters.items():
+            if name in das or p.kind == InputKind.KWARGS:
+                continue
+            if p.injected:
+                call_kwargs[name] = p.value
+            elif name in params:
+                call_kwargs[name] = params[name]
+        # extra kwargs routed through **indexer-style catch-alls
+        for name, v in params.items():
+            if name not in call_kwargs and name not in self.parameters:
+                call_kwargs[name] = v
+        outs = self.compute(**call_kwargs)
+        if not isinstance(outs, tuple):
+            outs = (outs,)
+        if len(outs) != len(self.cf_attrs):
+            raise ValueError(
+                f"Indicator {self.identifier} produced {len(outs)} outputs but "
+                f"{len(self.cf_attrs)} were declared.")
+        outs = [self._convert_units(o, a) for o, a in zip(outs, self.cf_attrs)]
+        outs = self._postprocess(outs, das, params)
+        outs = [self._update_attrs(o, a, das, params) for o, a in zip(outs, self.cf_attrs)]
+        if OPTIONS[AS_DATASET]:
+            dset = ClimDataset({o.name: o for o in outs})
+            return dset
+        if len(outs) == 1:
+            return outs[0]
+        nt = namedtuple(self.identifier, [a["var_name"] for a in self.cf_attrs])
+        return nt(*outs)
+
+    def _parse_variables_from_call(self, args, kwds, ds):
+        """Bind call args; pull string-named variables from ds
+        (xclim:core/indicator.py:946-996)."""
+        bound = {}
+        names = list(self.parameters)
+        free_names = [n for n in names if not self.parameters[n].injected]
+        for i, a in enumerate(args):
+            bound[free_names[i]] = a
+        for k, v in kwds.items():
+            if k in bound:
+                raise TypeError(f"Got multiple values for argument {k!r}")
+            bound[k] = v
+        das = {}
+        params = {}
+        for name, p in self.parameters.items():
+            if p.injected:
+                continue
+            if name in self._variables:
+                val = bound.get(name, None if p.kind == InputKind.OPTIONAL_VARIABLE
+                                else _empty)
+                if val is _empty or isinstance(val, str) or val is None:
+                    key = val if isinstance(val, str) else name
+                    if ds is not None and key in ds:
+                        val = ds[key]
+                    elif val is _empty or isinstance(val, str):
+                        raise MissingVariableError(
+                            f"Variable {key!r} missing (no dataset or not found).")
+                if val is not None:
+                    das[name] = val
+            elif name in bound:
+                params[name] = bound[name]
+            elif p.default is not _empty:
+                params[name] = p.default
+        # pass-through extra kwargs (e.g. indexer) if compute has **kwargs
+        has_kwargs = any(p.kind == inspect.Parameter.VAR_KEYWORD
+                         for p in self._sig.parameters.values())
+        if has_kwargs:
+            for k, v in bound.items():
+                if k not in das and k not in params and k not in self.parameters:
+                    params[k] = v
+        return das, params
+
+    def _preprocess_and_checks(self, das, params):
+        """Health checks (xclim:core/indicator.py:999)."""
+        self._cfcheck(**das)
+        self._datacheck(**das)
+
+    def _cfcheck(self, **das):
+        for name, da in das.items():
+            cfcheck_from_name(name, da)
+
+    def _datacheck(self, **das):
+        if self.src_freq is not None:
+            for da in das.values():
+                if da.time is not None:
+                    check_freq(da, self.src_freq, strict=True)
+
+    def _convert_units(self, out: ClimArray, attrs: dict) -> ClimArray:
+        target = attrs.get("units")
+        if target is None:
+            return out
+        if units2pint(out).dims != units2pint(str(target)).dims:
+            try:
+                return convert_units_to(out, target, context="infer")
+            except Exception:
+                return out
+        if out.attrs.get("units") != target:
+            return convert_units_to(out, target, context=self.context)
+        return out
+
+    def _postprocess(self, outs, das, params):
+        return outs
+
+    # ------------------------------------------------------------------
+    # attribute generation (xclim:core/indicator.py:1085-1148)
+    # ------------------------------------------------------------------
+    def _format_args(self, das, params):
+        args = dict(params)
+        indexer = args.pop("indexer", None) or {}
+        for k, v in indexer.items():
+            if v is not None:
+                args[k] = v
+        # month=m1 style formatting hooks
+        if "month" in args and isinstance(args["month"], (int, np.integer)):
+            args["month"] = f"m{args['month']}"
+        # per-variable percentile metadata
+        for name, da in das.items():
+            if name.endswith("_per"):
+                args[f"{name}_thresh"] = str(np.round(np.asarray(
+                    da.coords.get("percentiles", np.nan)).astype(float), 1))
+                args[f"{name}_window"] = da.attrs.get("window", "")
+                cb = da.attrs.get("climatology_bounds")
+                if cb:
+                    args[f"{name}_period"] = f"{cb[0]} to {cb[1]}"
+        return args
+
+    def _update_attrs(self, out: ClimArray, cf: dict, das, params) -> ClimArray:
+        args = self._format_args(das, params)
+        fmtr = formatting.default_formatter
+        attrs = {}
+        for key in _CF_NAMES:
+            if key in ("var_name",):
+                continue
+            val = cf.get(key, out.attrs.get(key))
+            if val is None:
+                continue
+            if key in _ATTRS_TO_FORMAT and isinstance(val, str):
+                try:
+                    val = fmtr.format(val, **args)
+                except (KeyError, IndexError, ValueError):
+                    pass
+            attrs[key] = val
+        # locales
+        for locale in OPTIONS["metadata_locales"]:
+            try:
+                loc_attrs = get_local_attrs(self._registry_id, locale,
+                                            names=TRANSLATABLE_ATTRS)
+            except Exception:
+                continue
+            loc_fmt = get_local_formatter(locale)
+            for k, v in loc_attrs.items():
+                if isinstance(v, str):
+                    try:
+                        v = loc_fmt.format(v, **args)
+                    except (KeyError, IndexError, ValueError):
+                        pass
+                attrs[k] = v
+        # history provenance (xclim:core/formatting.py:394)
+        callstr = formatting.gen_call_string(self.identifier, **{**das, **params})
+        attrs["history"] = formatting.update_history(
+            callstr, *das.values(), new_name=cf.get("var_name", self.identifier))
+        new = out.copy()
+        prev_units = new.attrs.get("units", attrs.get("units", ""))
+        kept = {k: v for k, v in new.attrs.items()
+                if k in ("units", "is_dayofyear", "calendar", "units_metadata")}
+        new.attrs = {**kept, **{k: v for k, v in attrs.items() if k != "units"}}
+        new.attrs.setdefault("units", prev_units)
+        new.name = cf.get("var_name", self.identifier)
+        return new
+
+    # ------------------------------------------------------------------
+    # serialization (xclim:core/indicator.py:1226 json())
+    # ------------------------------------------------------------------
+    def json(self) -> dict:
+        return {
+            "identifier": self.identifier,
+            "realm": self.realm,
+            "title": self.title,
+            "abstract": self.abstract,
+            "keywords": self.keywords,
+            "outputs": [dict(a) for a in self.cf_attrs],
+            "parameters": {k: p.asdict() for k, p in self.parameters.items()
+                           if k not in self._variables},
+            "variables": list(self._variables),
+        }
+
+    def __repr__(self):
+        return f"<Indicator {self._registry_id}>"
+
+
+class CheckMissingIndicator(Indicator):
+    """Adds the missing-value mask in postprocessing
+    (xclim:core/indicator.py:1473)."""
+
+    def _get_missing_freq(self, params):
+        return params.get("freq")
+
+    def _postprocess(self, outs, das, params):
+        outs = super()._postprocess(outs, das, params)
+        method = self.missing if self.missing != "from_context" else OPTIONS[CHECK_MISSING]
+        if method == "skip" or not das:
+            return outs
+        freq = self._get_missing_freq(params)
+        if freq is False:
+            return outs
+        cls = MISSING_METHODS.get(method)
+        if cls is None:
+            return outs
+        options = self.missing_options or OPTIONS[MISSING_OPTIONS].get(method, {})
+        indexer = params.get("indexer") or {}
+        for k in ("season", "month", "doy_bounds", "date_bounds"):
+            if params.get(k) is not None:
+                indexer[k] = params[k]
+        # mask from the union of all input variables (xclim:core/indicator.py:1530)
+        masks = []
+        for da in das.values():
+            if da.time is None:
+                continue
+            m = cls(**options)(da, freq, **indexer)
+            masks.append(m)
+        if not masks:
+            return outs
+        mask = masks[0]
+        for m in masks[1:]:
+            mask = mask | m
+        new_outs = []
+        for out in outs:
+            if out.time is not None and mask.time is not None and \
+                    len(out.time) == len(mask.time):
+                new_outs.append(out.where(~mask))
+            else:
+                new_outs.append(out)
+        return new_outs
+
+
+class ReducingIndicator(CheckMissingIndicator):
+    """Collapses the time dimension entirely (xclim:core/indicator.py:1552)."""
+
+    def _get_missing_freq(self, params):
+        return None
+
+
+class ResamplingIndicator(CheckMissingIndicator):
+    """Requires a `freq` argument; checks allowed periods
+    (xclim:core/indicator.py:1574)."""
+
+    allowed_periods: list[str] | None = None
+
+    def _preprocess_and_checks(self, das, params):
+        super()._preprocess_and_checks(das, params)
+        freq = params.get("freq")
+        if freq is not None and self.allowed_periods is not None:
+            if parse_offset(freq)[1] not in self.allowed_periods:
+                raise ValueError(
+                    f"Resampling frequency {freq} is not allowed for indicator "
+                    f"{self.identifier} (needs one of {self.allowed_periods}).")
+
+
+class IndexingIndicator(Indicator):
+    """Injects day-of-year/date/month/season selection kwargs
+    (xclim:core/indicator.py:1626)."""
+
+
+class ResamplingIndicatorWithIndexing(ResamplingIndicator, IndexingIndicator):
+    """Resampling + time-subset indexing (xclim:core/indicator.py:1657)."""
+
+
+class Daily(ResamplingIndicator):
+    """Indicator defined on daily data (xclim:core/indicator.py:1661)."""
+
+    src_freq = "D"
+
+
+class Hourly(ResamplingIndicator):
+    """Indicator defined on hourly data (xclim:core/indicator.py:1667)."""
+
+    src_freq = "h"
+
+
+def iter_indicators():
+    """Iterate over all registered indicators (id, instance)."""
+    yield from registry.items()
+
+
+# ---------------------------------------------------------------------------
+# YAML virtual modules (xclim:core/indicator.py:1703-1860)
+# ---------------------------------------------------------------------------
+
+
+def build_indicator_module(name: str, objs: dict, doc: str | None = None,
+                           reload: bool = False):
+    """Create (or extend) a virtual module holding indicator instances
+    (xclim:core/indicator.py:1703)."""
+    import sys
+    import types
+
+    import xclim_tpu.indicators as indicators_mod
+
+    full = f"xclim_tpu.indicators.{name}"
+    if full in sys.modules and not reload:
+        mod = sys.modules[full]
+    else:
+        mod = types.ModuleType(full, doc or f"Virtual indicator module {name}.")
+        sys.modules[full] = mod
+        setattr(indicators_mod, name, mod)
+    for key, obj in objs.items():
+        setattr(mod, key, obj)
+    mod.__dict__.setdefault("iter_indicators",
+                            lambda: ((k, v) for k, v in vars(mod).items()
+                                     if isinstance(v, Indicator)))
+    return mod
+
+
+_BASE_CLASSES = {
+    "Indicator": Indicator,
+    "ReducingIndicator": ReducingIndicator,
+    "ResamplingIndicator": ResamplingIndicator,
+    "ResamplingIndicatorWithIndexing": ResamplingIndicatorWithIndexing,
+    "Daily": Daily,
+    "Hourly": Hourly,
+}
+
+
+def _resolve_compute(path: str):
+    import importlib
+
+    if "." in path:
+        modname, fname = path.rsplit(".", 1)
+        mod = importlib.import_module(modname)
+        return getattr(mod, fname)
+    import xclim_tpu.indices as indices_mod
+
+    if hasattr(indices_mod, path):
+        return getattr(indices_mod, path)
+    import xclim_tpu.indices.generic as generic_mod
+
+    return getattr(generic_mod, path)
+
+
+def build_indicator_module_from_yaml(filename, name: str | None = None,
+                                     indices=None, translations=None,
+                                     mode: str = "raise", encoding: str = "utf-8"):
+    """Build indicators from a YAML definition file
+    (xclim:core/indicator.py:1761). Supports the reference's YAML layout:
+    ``base:``, ``compute:``, ``input:``, ``parameters:``, ``cf_attrs``/flat attrs.
+    """
+    from pathlib import Path
+
+    import yaml
+
+    filepath = Path(filename)
+    with open(filepath, encoding=encoding) as f:
+        yml = yaml.safe_load(f)
+    name = name or yml.get("module", filepath.stem)
+    doc = yml.get("doc")
+    default_base = yml.get("base", "Daily")
+    realm = yml.get("realm", "atmos")
+    objs = {}
+    for ident, data in (yml.get("indicators") or {}).items():
+        try:
+            objs[ident] = _indicator_from_dict(ident, data, default_base, realm,
+                                               indices=indices)
+        except Exception as err:
+            if mode == "raise":
+                raise
+            warnings.warn(f"Could not build indicator {ident}: {err}")
+    mod = build_indicator_module(name, objs, doc=doc, reload=True)
+    if translations:
+        from xclim_tpu.core.locales import load_locale
+
+        for locale, trans in translations.items():
+            load_locale(trans, locale)
+    return mod
+
+
+def _indicator_from_dict(identifier: str, data: dict, default_base: str, realm: str,
+                         indices=None):
+    data = dict(data or {})
+    base_name = data.pop("base", default_base)
+    if base_name.upper() in registry:
+        base_ind = registry[base_name.upper()]
+        base_cls = type(base_ind)
+        compute = base_ind.compute
+        inherited = {
+            "realm": base_ind.realm,
+            "cf_attrs": [dict(a) for a in base_ind.cf_attrs],
+            "title": base_ind.title,
+            "abstract": base_ind.abstract,
+            "missing": base_ind.missing,
+            "src_freq": base_ind.src_freq,
+        }
+    else:
+        base_cls = _BASE_CLASSES.get(base_name, Daily)
+        compute = None
+        inherited = {}
+
+    compute_name = data.pop("compute", None)
+    if compute_name is not None:
+        if indices is not None and compute_name in getattr(indices, "__dict__", indices if isinstance(indices, dict) else {}):
+            compute = indices[compute_name] if isinstance(indices, dict) \
+                else getattr(indices, compute_name)
+        else:
+            compute = _resolve_compute(compute_name)
+    if compute is None:
+        raise ValueError(f"No compute function for indicator {identifier}.")
+
+    input_map = data.pop("input", {})
+    params = data.pop("parameters", {})
+    cf_flat = {k: data.pop(k) for k in list(data) if k in _CF_NAMES}
+    cf_attrs = data.pop("cf_attrs", None)
+    if cf_attrs is None and (cf_flat or inherited.get("cf_attrs")):
+        merged = dict(inherited.get("cf_attrs", [{}])[0])
+        merged.update(cf_flat)
+        merged["var_name"] = identifier
+        cf_attrs = [merged]
+
+    if input_map:
+        compute = _wrap_input_map(compute, input_map)
+
+    kwds = {**inherited}
+    kwds.update({k: v for k, v in data.items() if isinstance(v, (str, int, float, list, dict))})
+    kwds.update({
+        "identifier": identifier,
+        "realm": data.get("realm", realm or inherited.get("realm", "atmos")),
+        "compute": compute,
+        "cf_attrs": cf_attrs or [{}],
+        "parameters": params,
+    })
+    return base_cls(**kwds)
+
+
+def _wrap_input_map(compute: Callable, input_map: dict):
+    """Rename compute variables per the YAML ``input:`` mapping
+    (official name → compute arg)."""
+    import functools
+
+    inv = {param: official for param, official in input_map.items()}
+
+    sig = inspect.signature(compute)
+    new_params = []
+    for n, p in sig.parameters.items():
+        if n in inv:
+            new_params.append(p.replace(name=inv[n]))
+        else:
+            new_params.append(p)
+
+    @functools.wraps(compute)
+    def wrapped(**kwargs):
+        call = {}
+        for k, v in kwargs.items():
+            back = {off: par for par, off in inv.items()}
+            call[back.get(k, k)] = v
+        return compute(**call)
+
+    wrapped.__signature__ = sig.replace(parameters=new_params)
+    wrapped.in_units = getattr(compute, "in_units", {})
+    return wrapped

@@ -1,0 +1,747 @@
+"""Temperature indicator declarations
+(reference: xclim:src/xclim/indicators/atmos/_temperature.py, ~1610 LoC).
+
+Realm subclasses mirror the reference ladder (Temp(Daily) etc.,
+_temperature.py:117-140); instances are plain declarative constructions.
+"""
+
+from __future__ import annotations
+
+from xclim_tpu import indices
+from xclim_tpu.core.indicator import (
+    Daily,
+    ResamplingIndicatorWithIndexing,
+)
+
+__all__ = [
+    "cold_spell_days",
+    "cold_spell_duration_index",
+    "cold_spell_frequency",
+    "cold_spell_max_length",
+    "cold_spell_total_length",
+    "cooling_degree_days",
+    "daily_temperature_range",
+    "daily_temperature_range_variability",
+    "degree_days_exceedance_date",
+    "extreme_temperature_range",
+    "first_day_tg_above",
+    "first_day_tn_above",
+    "first_day_tx_above",
+    "freshet_start",
+    "frost_days",
+    "frost_free_season_end",
+    "frost_free_season_length",
+    "frost_free_season_start",
+    "frost_season_length",
+    "growing_degree_days",
+    "growing_season_end",
+    "growing_season_length",
+    "growing_season_start",
+    "heat_wave_frequency",
+    "heat_wave_index",
+    "heat_wave_max_length",
+    "heat_wave_total_length",
+    "heating_degree_days",
+    "hot_spell_frequency",
+    "hot_spell_max_length",
+    "hot_spell_max_magnitude",
+    "hot_spell_total_length",
+    "ice_days",
+    "last_spring_frost",
+    "max_daily_temperature_range",
+    "maximum_consecutive_frost_days",
+    "maximum_consecutive_frost_free_days",
+    "maximum_consecutive_tx_days",
+    "tg10p",
+    "tg90p",
+    "tg_days_above",
+    "tg_days_below",
+    "tg_max",
+    "tg_mean",
+    "tg_min",
+    "tn10p",
+    "tn90p",
+    "tn_days_above",
+    "tn_days_below",
+    "tn_max",
+    "tn_mean",
+    "tn_min",
+    "tx10p",
+    "tx90p",
+    "tx_days_above",
+    "tx_days_below",
+    "tx_max",
+    "tx_mean",
+    "tx_min",
+    "tx_tn_days_above",
+    "warm_spell_duration_index",
+]
+
+
+class Temp(Daily):
+    """Daily temperature indicator (xclim:_temperature.py:117)."""
+
+    realm = "atmos"
+    keywords = "temperature"
+    context = "none"
+
+
+class TempWithIndexing(ResamplingIndicatorWithIndexing):
+    """Temperature indicator with **indexer support (xclim:_temperature.py:130)."""
+
+    realm = "atmos"
+    keywords = "temperature"
+    src_freq = "D"
+    context = "none"
+
+
+tg_mean = Temp(
+    identifier="tg_mean",
+    title="Mean temperature",
+    units="K",
+    standard_name="air_temperature",
+    long_name="Mean daily mean temperature",
+    description="{freq} mean of daily mean temperature.",
+    abstract="Mean of daily mean temperature.",
+    cell_methods="time: mean over days",
+    compute=indices.tg_mean,
+)
+
+tg_max = Temp(
+    identifier="tg_max",
+    title="Maximum of mean temperature",
+    units="K",
+    standard_name="air_temperature",
+    long_name="Maximum daily mean temperature",
+    description="{freq} maximum of daily mean temperature.",
+    cell_methods="time: maximum over days",
+    compute=indices.tg_max,
+)
+
+tg_min = Temp(
+    identifier="tg_min",
+    title="Minimum of mean temperature",
+    units="K",
+    standard_name="air_temperature",
+    long_name="Minimum daily mean temperature",
+    description="{freq} minimum of daily mean temperature.",
+    cell_methods="time: minimum over days",
+    compute=indices.tg_min,
+)
+
+tx_mean = Temp(
+    identifier="tx_mean",
+    title="Mean of maximum temperature",
+    units="K",
+    standard_name="air_temperature",
+    long_name="Mean daily maximum temperature",
+    description="{freq} mean of daily maximum temperature.",
+    cell_methods="time: mean over days",
+    compute=indices.tx_mean,
+)
+
+tx_max = Temp(
+    identifier="tx_max",
+    title="Maximum temperature",
+    units="K",
+    standard_name="air_temperature",
+    long_name="Maximum daily maximum temperature",
+    description="{freq} maximum of daily maximum temperature.",
+    cell_methods="time: maximum over days",
+    compute=indices.tx_max,
+)
+
+tx_min = Temp(
+    identifier="tx_min",
+    title="Minimum of maximum temperature",
+    units="K",
+    standard_name="air_temperature",
+    long_name="Minimum daily maximum temperature",
+    description="{freq} minimum of daily maximum temperature.",
+    cell_methods="time: minimum over days",
+    compute=indices.tx_min,
+)
+
+tn_mean = Temp(
+    identifier="tn_mean",
+    title="Mean of minimum temperature",
+    units="K",
+    standard_name="air_temperature",
+    long_name="Mean daily minimum temperature",
+    description="{freq} mean of daily minimum temperature.",
+    cell_methods="time: mean over days",
+    compute=indices.tn_mean,
+)
+
+tn_max = Temp(
+    identifier="tn_max",
+    title="Maximum of minimum temperature",
+    units="K",
+    standard_name="air_temperature",
+    long_name="Maximum daily minimum temperature",
+    description="{freq} maximum of daily minimum temperature.",
+    cell_methods="time: maximum over days",
+    compute=indices.tn_max,
+)
+
+tn_min = Temp(
+    identifier="tn_min",
+    title="Minimum temperature",
+    units="K",
+    standard_name="air_temperature",
+    long_name="Minimum daily minimum temperature",
+    description="{freq} minimum of daily minimum temperature.",
+    cell_methods="time: minimum over days",
+    compute=indices.tn_min,
+)
+
+frost_days = TempWithIndexing(
+    identifier="frost_days",
+    title="Frost days",
+    units="days",
+    long_name="Number of days where the daily minimum temperature is below {thresh}",
+    description="{freq} number of days where the daily minimum temperature is "
+                "below {thresh}.",
+    cell_methods="time: sum over days",
+    compute=indices.frost_days,
+)
+
+ice_days = TempWithIndexing(
+    identifier="ice_days",
+    title="Ice days",
+    units="days",
+    long_name="Number of days where the daily maximum temperature stays below {thresh}",
+    description="{freq} number of days where the daily maximum temperature stays "
+                "below {thresh}.",
+    cell_methods="time: sum over days",
+    compute=indices.ice_days,
+)
+
+tx_days_above = TempWithIndexing(
+    identifier="tx_days_above",
+    title="Days with maximum temperature above a threshold",
+    units="days",
+    long_name="Number of days where the daily maximum temperature exceeds {thresh}",
+    description="{freq} number of days where the daily maximum temperature "
+                "exceeds {thresh}.",
+    cell_methods="time: sum over days",
+    compute=indices.tx_days_above,
+)
+
+tx_days_below = TempWithIndexing(
+    identifier="tx_days_below",
+    title="Days with maximum temperature below a threshold",
+    units="days",
+    long_name="Number of days where the daily maximum temperature is below {thresh}",
+    description="{freq} number of days where the daily maximum temperature is "
+                "below {thresh}.",
+    compute=indices.tx_days_below,
+)
+
+tn_days_above = TempWithIndexing(
+    identifier="tn_days_above",
+    title="Days with minimum temperature above a threshold",
+    units="days",
+    long_name="Number of days where the daily minimum temperature exceeds {thresh}",
+    description="{freq} number of days where the daily minimum temperature "
+                "exceeds {thresh}.",
+    compute=indices.tn_days_above,
+)
+
+tn_days_below = TempWithIndexing(
+    identifier="tn_days_below",
+    title="Days with minimum temperature below a threshold",
+    units="days",
+    long_name="Number of days where the daily minimum temperature is below {thresh}",
+    description="{freq} number of days where the daily minimum temperature is "
+                "below {thresh}.",
+    compute=indices.tn_days_below,
+)
+
+tg_days_above = TempWithIndexing(
+    identifier="tg_days_above",
+    title="Days with mean temperature above a threshold",
+    units="days",
+    long_name="Number of days where the daily mean temperature exceeds {thresh}",
+    description="{freq} number of days where the daily mean temperature exceeds "
+                "{thresh}.",
+    compute=indices.tg_days_above,
+)
+
+tg_days_below = TempWithIndexing(
+    identifier="tg_days_below",
+    title="Days with mean temperature below a threshold",
+    units="days",
+    long_name="Number of days where the daily mean temperature is below {thresh}",
+    description="{freq} number of days where the daily mean temperature is below "
+                "{thresh}.",
+    compute=indices.tg_days_below,
+)
+
+growing_degree_days = TempWithIndexing(
+    identifier="growing_degree_days",
+    title="Growing degree days",
+    units="K days",
+    long_name="Cumulative sum of temperature degrees above {thresh}",
+    description="{freq} growing degree days (temperature above {thresh}).",
+    cell_methods="time: sum over days",
+    compute=indices.growing_degree_days,
+)
+
+cooling_degree_days = TempWithIndexing(
+    identifier="cooling_degree_days",
+    title="Cooling degree days",
+    units="K days",
+    long_name="Cumulative sum of temperature degrees above {thresh}",
+    description="{freq} cooling degree days (mean temperature above {thresh}).",
+    cell_methods="time: sum over days",
+    compute=indices.cooling_degree_days,
+)
+
+heating_degree_days = TempWithIndexing(
+    identifier="heating_degree_days",
+    title="Heating degree days",
+    units="K days",
+    long_name="Cumulative sum of temperature degrees below {thresh}",
+    description="{freq} heating degree days (mean temperature below {thresh}).",
+    cell_methods="time: sum over days",
+    compute=indices.heating_degree_days,
+)
+
+cold_spell_days = Temp(
+    identifier="cold_spell_days",
+    title="Cold spell days",
+    units="days",
+    long_name="Number of days part of a cold spell",
+    description="{freq} number of days that are part of a cold spell (at least "
+                "{window} consecutive days with mean temperature below {thresh}).",
+    cell_methods="time: sum over days",
+    compute=indices.cold_spell_days,
+)
+
+cold_spell_frequency = Temp(
+    identifier="cold_spell_frequency",
+    title="Cold spell frequency",
+    units="",
+    long_name="Number of cold spell events",
+    description="{freq} number of cold spell events (at least {window} "
+                "consecutive days with mean temperature below {thresh}).",
+    compute=indices.cold_spell_frequency,
+)
+
+cold_spell_max_length = Temp(
+    identifier="cold_spell_max_length",
+    title="Longest cold spell",
+    units="days",
+    long_name="Longest spell of low temperatures below {thresh}",
+    description="{freq} longest spell of at least {window} consecutive days with "
+                "mean temperature below {thresh}.",
+    compute=indices.cold_spell_max_length,
+)
+
+cold_spell_total_length = Temp(
+    identifier="cold_spell_total_length",
+    title="Total cold spell length",
+    units="days",
+    long_name="Total days in cold spells below {thresh}",
+    description="{freq} total number of days in cold spells of at least {window} "
+                "days with mean temperature below {thresh}.",
+    compute=indices.cold_spell_total_length,
+)
+
+hot_spell_frequency = Temp(
+    identifier="hot_spell_frequency",
+    title="Hot spell frequency",
+    units="",
+    long_name="Number of hot spell events",
+    description="{freq} number of hot spells (at least {window} consecutive days "
+                "with maximum temperature above {thresh}).",
+    compute=indices.hot_spell_frequency,
+)
+
+hot_spell_max_length = Temp(
+    identifier="hot_spell_max_length",
+    title="Longest hot spell",
+    units="days",
+    long_name="Longest spell of high temperatures above {thresh}",
+    description="{freq} longest spell of at least {window} consecutive days with "
+                "maximum temperature above {thresh}.",
+    compute=indices.hot_spell_max_length,
+)
+
+hot_spell_total_length = Temp(
+    identifier="hot_spell_total_length",
+    title="Total hot spell length",
+    units="days",
+    long_name="Total days in hot spells above {thresh}",
+    description="{freq} total number of days in hot spells of at least {window} "
+                "days with maximum temperature above {thresh}.",
+    compute=indices.hot_spell_total_length,
+)
+
+hot_spell_max_magnitude = Temp(
+    identifier="hot_spell_max_magnitude",
+    title="Hot spell maximum magnitude",
+    units="K d",
+    long_name="Maximum cumulative temperature excess of hot spells",
+    description="{freq} maximum cumulative temperature excess above {thresh} of "
+                "any hot spell of at least {window} days.",
+    compute=indices.hot_spell_max_magnitude,
+)
+
+heat_wave_index = Temp(
+    identifier="heat_wave_index",
+    title="Heat wave index",
+    units="days",
+    long_name="Number of days that are part of a heatwave",
+    description="{freq} number of days that are part of a heatwave (at least "
+                "{window} consecutive days with maximum temperature above {thresh}).",
+    compute=indices.heat_wave_index,
+)
+
+heat_wave_frequency = Temp(
+    identifier="heat_wave_frequency",
+    title="Heat wave frequency",
+    units="",
+    long_name="Number of heat wave events",
+    description="{freq} number of heat waves (at least {window} consecutive days "
+                "with minimum temperature above {thresh_tasmin} and maximum "
+                "temperature above {thresh_tasmax}).",
+    compute=indices.heat_wave_frequency,
+)
+
+heat_wave_max_length = Temp(
+    identifier="heat_wave_max_length",
+    title="Heat wave maximum length",
+    units="days",
+    long_name="Longest heat wave",
+    description="{freq} longest heat wave (minimum temperature above "
+                "{thresh_tasmin} and maximum temperature above {thresh_tasmax} for "
+                "at least {window} days).",
+    compute=indices.heat_wave_max_length,
+)
+
+heat_wave_total_length = Temp(
+    identifier="heat_wave_total_length",
+    title="Heat wave total length",
+    units="days",
+    long_name="Total days in heat waves",
+    description="{freq} total number of days in heat waves (minimum temperature "
+                "above {thresh_tasmin} and maximum temperature above "
+                "{thresh_tasmax} for at least {window} days).",
+    compute=indices.heat_wave_total_length,
+)
+
+maximum_consecutive_frost_days = Temp(
+    identifier="consecutive_frost_days",
+    title="Maximum consecutive frost days",
+    units="days",
+    long_name="Maximum number of consecutive days with minimum temperature below "
+              "{thresh}",
+    description="{freq} maximum number of consecutive days with minimum "
+                "temperature below {thresh}.",
+    compute=indices.maximum_consecutive_frost_days,
+)
+
+maximum_consecutive_frost_free_days = Temp(
+    identifier="consecutive_frost_free_days",
+    title="Maximum consecutive frost-free days",
+    units="days",
+    long_name="Maximum number of consecutive days with minimum temperature at or "
+              "above {thresh}",
+    description="{freq} maximum number of consecutive days with minimum "
+                "temperature at or above {thresh}.",
+    compute=indices.maximum_consecutive_frost_free_days,
+)
+
+maximum_consecutive_tx_days = Temp(
+    identifier="maximum_consecutive_tx_days",
+    title="Maximum consecutive warm days",
+    units="days",
+    long_name="Maximum number of consecutive days with maximum temperature above "
+              "{thresh}",
+    description="{freq} maximum number of consecutive days with maximum "
+                "temperature above {thresh}.",
+    compute=indices.maximum_consecutive_tx_days,
+)
+
+growing_season_start = Temp(
+    identifier="growing_season_start",
+    title="Growing season start",
+    units="1",
+    long_name="First day of the growing season",
+    description="Day of year when temperature exceeds {thresh} for at least "
+                "{window} consecutive days.",
+    compute=indices.growing_season_start,
+)
+
+growing_season_end = Temp(
+    identifier="growing_season_end",
+    title="Growing season end",
+    units="1",
+    long_name="Last day of the growing season",
+    description="Day of year of the end of the growing season (temperature below "
+                "{thresh} for {window} consecutive days after {mid_date}).",
+    compute=indices.growing_season_end,
+)
+
+growing_season_length = Temp(
+    identifier="growing_season_length",
+    title="Growing season length",
+    units="days",
+    long_name="Length of the growing season",
+    description="{freq} number of days between the first occurrence of at least "
+                "{window} consecutive days with mean daily temperature over "
+                "{thresh} and the first occurrence of at least {window} "
+                "consecutive days with mean daily temperature below {thresh}, "
+                "occurring after {mid_date}.",
+    compute=indices.growing_season_length,
+)
+
+frost_season_length = Temp(
+    identifier="frost_season_length",
+    title="Frost season length",
+    units="days",
+    long_name="Length of the frost season",
+    description="{freq} number of days between the first occurrence of at least "
+                "{window} consecutive days with minimum daily temperature below "
+                "freezing and the first occurrence of at least {window} "
+                "consecutive days with minimum daily temperature above freezing "
+                "after {mid_date}.",
+    compute=indices.frost_season_length,
+)
+
+frost_free_season_start = Temp(
+    identifier="frost_free_season_start",
+    title="Frost-free season start",
+    units="1",
+    long_name="First day of the frost-free season",
+    description="Day of year of the start of the frost-free season (minimum "
+                "temperature at or above {thresh} for {window} consecutive days).",
+    compute=indices.frost_free_season_start,
+)
+
+frost_free_season_end = Temp(
+    identifier="frost_free_season_end",
+    title="Frost-free season end",
+    units="1",
+    long_name="Last day of the frost-free season",
+    description="Day of year of the end of the frost-free season.",
+    compute=indices.frost_free_season_end,
+)
+
+frost_free_season_length = Temp(
+    identifier="frost_free_season_length",
+    title="Frost-free season length",
+    units="days",
+    long_name="Length of the frost-free season",
+    description="{freq} length of the frost-free season.",
+    compute=indices.frost_free_season_length,
+)
+
+last_spring_frost = Temp(
+    identifier="last_spring_frost",
+    title="Last spring frost",
+    units="1",
+    long_name="Last day of minimum temperature below {thresh}",
+    description="Day of year of the last spring frost (minimum temperature below "
+                "{thresh} before {before_date}).",
+    compute=indices.last_spring_frost,
+)
+
+first_day_tn_above = Temp(
+    identifier="first_day_tn_above",
+    title="First day with minimum temperature above a threshold",
+    units="1",
+    long_name="First day of year with minimum temperature above {thresh}",
+    description="First day of year with minimum temperature above {thresh} for "
+                "at least {window} days.",
+    compute=indices.first_day_temperature_above,
+    parameters={"tas": {"description": "Minimum daily temperature."}},
+)
+
+first_day_tg_above = Temp(
+    identifier="first_day_tg_above",
+    title="First day with mean temperature above a threshold",
+    units="1",
+    long_name="First day of year with mean temperature above {thresh}",
+    description="First day of year with mean temperature above {thresh} for at "
+                "least {window} days.",
+    compute=indices.first_day_temperature_above,
+)
+
+first_day_tx_above = Temp(
+    identifier="first_day_tx_above",
+    title="First day with maximum temperature above a threshold",
+    units="1",
+    long_name="First day of year with maximum temperature above {thresh}",
+    description="First day of year with maximum temperature above {thresh} for "
+                "at least {window} days.",
+    compute=indices.first_day_temperature_above,
+)
+
+freshet_start = Temp(
+    identifier="freshet_start",
+    title="Freshet start",
+    units="1",
+    long_name="First day where temperature threshold of {thresh} is exceeded for "
+              "at least {window} days",
+    description="Day of year of the spring freshet start (mean temperature above "
+                "{thresh} for {window} consecutive days).",
+    compute=indices.first_day_temperature_above,
+    parameters={"thresh": "0 degC", "window": 5},
+)
+
+daily_temperature_range = TempWithIndexing(
+    identifier="dtr",
+    title="Mean of daily temperature range",
+    units="K",
+    long_name="Mean diurnal temperature range",
+    description="{freq} mean diurnal temperature range.",
+    cell_methods="time: range within days time: mean over days",
+    compute=indices.daily_temperature_range,
+    parameters={"op": "mean"},
+)
+
+max_daily_temperature_range = TempWithIndexing(
+    identifier="dtrmax",
+    title="Maximum of daily temperature range",
+    units="K",
+    long_name="Maximum diurnal temperature range",
+    description="{freq} maximum diurnal temperature range.",
+    cell_methods="time: range within days time: max over days",
+    compute=indices.daily_temperature_range,
+    parameters={"op": "max"},
+)
+
+daily_temperature_range_variability = TempWithIndexing(
+    identifier="dtrvar",
+    title="Variability of daily temperature range",
+    units="K",
+    long_name="Mean absolute day-to-day variation in daily temperature range",
+    description="{freq} mean absolute day-to-day variation in daily temperature "
+                "range.",
+    compute=indices.daily_temperature_range_variability,
+)
+
+extreme_temperature_range = TempWithIndexing(
+    identifier="etr",
+    title="Extreme temperature range",
+    units="K",
+    long_name="Intra-period extreme temperature range",
+    description="{freq} range between the maximum of daily maximum temperature "
+                "and the minimum of daily minimum temperature.",
+    compute=indices.extreme_temperature_range,
+)
+
+tx_tn_days_above = TempWithIndexing(
+    identifier="tx_tn_days_above",
+    title="Days with hot maximum and minimum temperature",
+    units="days",
+    long_name="Number of days with maximum temperature above {thresh_tasmax} and "
+              "minimum temperature above {thresh_tasmin}",
+    description="{freq} number of days with maximum temperature above "
+                "{thresh_tasmax} and minimum temperature above {thresh_tasmin}.",
+    compute=indices.tx_tn_days_above,
+)
+
+tg90p = TempWithIndexing(
+    identifier="tg90p",
+    title="Days with mean temperature above the 90th percentile",
+    units="days",
+    long_name="Number of days with mean temperature above the 90th percentile",
+    description="{freq} number of days with mean temperature above the 90th "
+                "percentile ({tas_per_period} period).",
+    cell_methods="time: sum over days",
+    compute=indices.tg90p,
+)
+
+tg10p = TempWithIndexing(
+    identifier="tg10p",
+    title="Days with mean temperature below the 10th percentile",
+    units="days",
+    long_name="Number of days with mean temperature below the 10th percentile",
+    description="{freq} number of days with mean temperature below the 10th "
+                "percentile ({tas_per_period} period).",
+    cell_methods="time: sum over days",
+    compute=indices.tg10p,
+)
+
+tx90p = TempWithIndexing(
+    identifier="tx90p",
+    title="Days with maximum temperature above the 90th percentile",
+    units="days",
+    long_name="Number of days with maximum temperature above the 90th percentile",
+    description="{freq} number of days with maximum temperature above the 90th "
+                "percentile ({tasmax_per_period} period).",
+    cell_methods="time: sum over days",
+    compute=indices.tx90p,
+)
+
+tx10p = TempWithIndexing(
+    identifier="tx10p",
+    title="Days with maximum temperature below the 10th percentile",
+    units="days",
+    long_name="Number of days with maximum temperature below the 10th percentile",
+    description="{freq} number of days with maximum temperature below the 10th "
+                "percentile ({tasmax_per_period} period).",
+    cell_methods="time: sum over days",
+    compute=indices.tx10p,
+)
+
+tn90p = TempWithIndexing(
+    identifier="tn90p",
+    title="Days with minimum temperature above the 90th percentile",
+    units="days",
+    long_name="Number of days with minimum temperature above the 90th percentile",
+    description="{freq} number of days with minimum temperature above the 90th "
+                "percentile ({tasmin_per_period} period).",
+    cell_methods="time: sum over days",
+    compute=indices.tn90p,
+)
+
+tn10p = TempWithIndexing(
+    identifier="tn10p",
+    title="Days with minimum temperature below the 10th percentile",
+    units="days",
+    long_name="Number of days with minimum temperature below the 10th percentile",
+    description="{freq} number of days with minimum temperature below the 10th "
+                "percentile ({tasmin_per_period} period).",
+    cell_methods="time: sum over days",
+    compute=indices.tn10p,
+)
+
+cold_spell_duration_index = Temp(
+    identifier="cold_spell_duration_index",
+    title="Cold spell duration index",
+    units="days",
+    long_name="Days part of a run of at least {window} days with minimum "
+              "temperature below the 10th percentile",
+    description="{freq} number of days with at least {window} consecutive days "
+                "where the minimum temperature is below the 10th percentile.",
+    cell_methods="time: sum over days",
+    compute=indices.cold_spell_duration_index,
+)
+
+warm_spell_duration_index = Temp(
+    identifier="warm_spell_duration_index",
+    title="Warm spell duration index",
+    units="days",
+    long_name="Days part of a run of at least {window} days with maximum "
+              "temperature above the 90th percentile",
+    description="{freq} number of days with at least {window} consecutive days "
+                "where the maximum temperature is above the 90th percentile.",
+    cell_methods="time: sum over days",
+    compute=indices.warm_spell_duration_index,
+)
+
+degree_days_exceedance_date = Temp(
+    identifier="degree_days_exceedance_date",
+    title="Degree day exceedance date",
+    units="1",
+    long_name="Day of year when the integral of mean daily temperature "
+              "{op} {thresh} exceeds {sum_thresh}",
+    description="Day of year when the integral of degree days (mean temperature "
+                "{op} {thresh}) exceeds {sum_thresh}.",
+    compute=indices.degree_days_exceedance_date,
+)
