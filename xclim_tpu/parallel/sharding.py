@@ -1,0 +1,67 @@
+"""Spatial sharding over the TPU mesh — the framework's replacement for dask
+chunking (SURVEY.md §2 parallelism inventory; reference scales via
+``xr.apply_ufunc(..., dask='parallelized')``).
+
+Every index kernel is embarrassingly parallel over non-time dims, so the
+canonical layout shards (lat, lon) over a 2-D device mesh and keeps time
+unsharded on-chip. Collectives only appear in ensemble/global reductions
+(psum over the realization axis) — XLA inserts them from the shardings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["space_mesh", "shard_space", "sharded_jit"]
+
+
+def space_mesh(n_devices: int | None = None, shape: tuple[int, int] | None = None) -> Mesh:
+    """Build a 2-D ('lat', 'lon') device mesh.
+
+    With `shape` given, uses exactly that layout; otherwise factors n_devices
+    as close to square as possible (ICI-friendly on TPU tori).
+    """
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    if shape is None:
+        a = int(np.floor(np.sqrt(n)))
+        while n % a:
+            a -= 1
+        shape = (a, n // a)
+    mesh_devs = np.array(devs[: shape[0] * shape[1]]).reshape(shape)
+    return Mesh(mesh_devs, ("lat", "lon"))
+
+
+def shard_space(x, mesh: Mesh, time_axis: int | None = 0):
+    """Place an array with dims (time, lat, lon) (or (lat, lon)) on the mesh,
+    sharding the two trailing spatial axes."""
+    if x.ndim >= 3:
+        spec = P(*([None] * (x.ndim - 2)), "lat", "lon")
+    elif x.ndim == 2:
+        spec = P("lat", "lon")
+    else:
+        spec = P(None)
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def sharded_jit(fn, mesh: Mesh, n_space_axes: int = 2, time_leading: bool = True):
+    """jit `fn` with inputs/outputs sharded over the spatial mesh.
+
+    The function must take arrays whose trailing `n_space_axes` dims are
+    (lat, lon); XLA propagates the sharding through every kernel and inserts
+    collectives only where cross-space reductions appear.
+    """
+    def spec_for(x):
+        if hasattr(x, "ndim") and x.ndim >= 2:
+            return NamedSharding(mesh, P(*([None] * (x.ndim - 2)), "lat", "lon"))
+        return NamedSharding(mesh, P())
+
+    def wrapper(*args):
+        shardings = jax.tree_util.tree_map(spec_for, list(args))
+        jitted = jax.jit(fn, in_shardings=tuple(shardings))
+        return jitted(*args)
+
+    return wrapper
