@@ -1,0 +1,137 @@
+"""Bias adjustment tests (reference seam: xclim tests/test_xsdba.py; behaviors
+per the train/adjust contract in xclim docs/sdba.rst)."""
+
+import numpy as np
+import pytest
+
+from xclim_tpu.sdba import (
+    DetrendedQuantileMapping,
+    EmpiricalQuantileMapping,
+    Grouper,
+    QuantileDeltaMapping,
+    Scaling,
+)
+from xclim_tpu.testing.helpers import test_timeseries
+
+
+def _series(vals, units="K", var="tas", start="2001-01-01"):
+    return test_timeseries(np.asarray(vals, dtype=np.float32), var, start=start,
+                           units=units)
+
+
+class TestGrouper:
+    def test_month_table(self):
+        t = _series(np.zeros(365)).time
+        g = Grouper("time.month")
+        table = g.train_table(t)
+        assert table.shape[0] == 12
+        assert (table[0] >= 0).sum() == 31
+
+    def test_doy_window(self):
+        t = _series(np.zeros(365 * 2)).time
+        g = Grouper("time.dayofyear", window=31)
+        table = g.train_table(t)
+        assert table.shape[0] == 366
+        # middle doy: 31 days × 2 years
+        assert (table[180] >= 0).sum() == 62
+
+    def test_adjust_table_roundtrip(self):
+        t = _series(np.zeros(100)).time
+        g = Grouper("time.month")
+        table, gid, flat_pos = g.adjust_table(t)
+        # scattering identity: gather then scatter back reproduces arange
+        vals = np.full(table.shape, -1, dtype=np.int64)
+        ok = table >= 0
+        vals[ok] = table[ok]
+        flat = vals.reshape(-1)
+        np.testing.assert_array_equal(flat[flat_pos], np.arange(100))
+
+
+class TestEQM:
+    def test_constant_offset(self):
+        rng = np.random.default_rng(0)
+        base = rng.normal(10, 2, 365 * 3)
+        ref = _series(base)
+        hist = _series(base + 2)
+        eqm = EmpiricalQuantileMapping.train(ref, hist, nquantiles=20, group="time", kind="+")
+        scen = eqm.adjust(hist)
+        np.testing.assert_allclose(scen.values, ref.values, atol=0.1)
+
+    def test_multiplicative(self):
+        rng = np.random.default_rng(1)
+        base = rng.gamma(4, 2, 365 * 3)
+        ref = _series(base, units="mm/d", var="pr")
+        hist = _series(base * 1.5, units="mm/d", var="pr")
+        eqm = EmpiricalQuantileMapping.train(ref, hist, nquantiles=20, group="time", kind="*")
+        scen = eqm.adjust(hist)
+        np.testing.assert_allclose(scen.values, ref.values, rtol=0.05)
+
+    def test_grouped_dayofyear(self):
+        # seasonal bias: hist is ref + seasonal-dependent offset
+        n = 365 * 4
+        t = np.arange(n)
+        doy = t % 365
+        seasonal = 3 * np.cos(2 * np.pi * doy / 365)
+        rng = np.random.default_rng(2)
+        base = 10 + rng.normal(0, 1, n)
+        ref = _series(base)
+        hist = _series(base + seasonal)
+        eqm = EmpiricalQuantileMapping.train(ref, hist, nquantiles=20,
+                                             group="time.dayofyear", window=31)
+        scen = eqm.adjust(hist)
+        # seasonal bias removed
+        err = np.abs(np.asarray(scen.values) - base)
+        assert err.mean() < 0.5
+
+    def test_units_harmonization(self):
+        base = np.random.default_rng(3).normal(10, 2, 365)
+        ref = _series(base, units="degC")
+        hist = _series(base + 273.15 + 2, units="K")
+        eqm = EmpiricalQuantileMapping.train(ref, hist, nquantiles=10, group="time")
+        scen = eqm.adjust(hist)
+        assert scen.attrs["units"] == "degC"
+        np.testing.assert_allclose(scen.values, base, atol=0.2)
+
+
+class TestQDM:
+    def test_delta_preservation(self):
+        # QDM preserves relative changes of sim even when hist is biased
+        rng = np.random.default_rng(4)
+        base = rng.normal(10, 2, 365 * 3)
+        ref = _series(base)
+        hist = _series(base + 5)
+        sim = _series(base + 5 + 1)  # sim = hist + climate-change delta of 1
+        qdm = QuantileDeltaMapping.train(ref, hist, nquantiles=20, group="time")
+        scen_hist = qdm.adjust(hist)
+        scen_sim = qdm.adjust(sim)
+        np.testing.assert_allclose(scen_hist.values, base, atol=0.3)
+        # delta preserved
+        delta = np.asarray(scen_sim.values) - np.asarray(scen_hist.values)
+        np.testing.assert_allclose(delta, 1.0, atol=0.3)
+
+
+class TestDQM:
+    def test_trend_preserved(self):
+        rng = np.random.default_rng(5)
+        n = 365 * 4
+        base = rng.normal(10, 1, n)
+        ref = _series(base)
+        hist = _series(base + 2)
+        trend = np.linspace(0, 3, n)
+        sim = _series(base + 2 + trend)
+        dqm = DetrendedQuantileMapping.train(ref, hist, nquantiles=20, group="time")
+        scen = dqm.adjust(sim)
+        # bias removed, trend kept
+        resid = np.asarray(scen.values) - (base + trend)
+        assert np.abs(resid.mean()) < 0.3
+
+
+class TestScaling:
+    def test_additive(self):
+        base = np.random.default_rng(6).normal(10, 2, 365)
+        ref = _series(base)
+        hist = _series(base + 2)
+        sc = Scaling.train(ref, hist, group="time", kind="+")
+        scen = sc.adjust(hist)
+        np.testing.assert_allclose(np.asarray(scen.values).mean(),
+                                   base.mean(), atol=1e-3)

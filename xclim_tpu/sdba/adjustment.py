@@ -1,0 +1,241 @@
+"""Bias-adjustment methods: EQM, DQM, QDM, Scaling
+(reference: the external xsdba package re-exported as xclim.sdba —
+xclim:src/xclim/sdba.py:1-28; train/adjust contract per xclim docs/sdba.rst:23-56).
+
+TPU-first design: training is one static group-gather + batched quantile
+kernel; adjustment is group-sliced binary search + linear interpolation over
+the quantile axis — no per-group Python loops, everything jit-able. Trained
+state is an explicit, serializable dict of device arrays (``.ds``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from xclim_tpu.core.dataarray import ClimArray
+from xclim_tpu.core.units import convert_units_to, str2pint, units2pint
+from xclim_tpu.sdba.grouping import Grouper
+from xclim_tpu.sdba.utils import (
+    equally_spaced_nodes,
+    grouped_quantile,
+    grouped_rank,
+    interp_on_quantiles,
+)
+
+
+def _spacify(*arrays):
+    """Ensure a trailing space axis (1-D series → (..., 1))."""
+    out = []
+    squeeze = arrays[0].ndim == 2
+    for a in arrays:
+        out.append(a[..., None] if a.ndim == 2 else a)
+    return out, squeeze
+
+__all__ = ["EmpiricalQuantileMapping", "DetrendedQuantileMapping",
+           "QuantileDeltaMapping", "Scaling"]
+
+
+def _apply_kind(x, factor, kind):
+    return x + factor if kind == "+" else x * factor
+
+
+def _inv_kind(a, b, kind):
+    """Adjustment factor between a and b: a - b or a / b."""
+    if kind == "+":
+        return a - b
+    return a / jnp.where(b == 0, jnp.nan, b)
+
+
+class TrainAdjust:
+    """Train-once, adjust-many base class (xsdba.TrainAdjust)."""
+
+    _allow_diff_calendars = True
+
+    def __init__(self, ds: dict, **params):
+        self.ds = ds
+        for k, v in params.items():
+            setattr(self, k, v)
+
+    @classmethod
+    def train(cls, ref: ClimArray, hist: ClimArray, **kwargs):
+        hist = convert_units_to(hist, ref, context="infer")
+        group = Grouper(kwargs.pop("group", "time"), kwargs.pop("window", 1)) \
+            if not isinstance(kwargs.get("group"), Grouper) else kwargs.pop("group")
+        obj = cls._train(ref, hist, group=group, **kwargs)
+        obj.train_units = ref.attrs.get("units", "")
+        return obj
+
+    def adjust(self, sim: ClimArray, **kwargs):
+        sim = convert_units_to(sim, self.train_units, context="infer")
+        out = self._adjust(sim, **kwargs)
+        out.attrs = dict(sim.attrs)
+        out.attrs["units"] = self.train_units
+        out.attrs["history"] = (sim.attrs.get("history", "") +
+                                f"\nBias-adjusted with {type(self).__name__}"
+                                f"(group={self.group.group}, kind={self.kind}).")
+        out.name = sim.name
+        return out
+
+
+class EmpiricalQuantileMapping(TrainAdjust):
+    """EQM: adjustment factors between ref and hist quantiles per group
+    (xsdba.EmpiricalQuantileMapping; xclim docs/sdba.rst).
+
+    train: af(q) = ref_q(q) ∘ hist_q(q)⁻¹; adjust: sim + af(F_hist(sim)).
+    """
+
+    @classmethod
+    def _train(cls, ref, hist, *, group: Grouper, nquantiles: int = 20,
+               kind: str = "+"):
+        q = equally_spaced_nodes(nquantiles) if np.isscalar(nquantiles) \
+            else np.asarray(nquantiles)
+        ref_q = grouped_quantile(ref, group, q)  # (G, nq, ...)
+        hist_q = grouped_quantile(hist, group, q)
+        af = _inv_kind(ref_q, hist_q, kind)
+        return cls({"af": af, "hist_q": hist_q, "quantiles": np.asarray(q)},
+                   group=group, kind=kind)
+
+    def _adjust(self, sim: ClimArray, interp: str = "linear",
+                extrapolation: str = "constant"):
+        table, gid, flat_pos = self.group.adjust_table(sim.time)
+        ax = sim.time_axis
+        xf = jnp.moveaxis(sim.data, ax, 0)
+        t = jnp.asarray(table)
+        g = xf[jnp.maximum(t, 0)]  # (G, ms, ...)
+        okshape = t.shape + (1,) * (g.ndim - 2)
+        g = jnp.where((t >= 0).reshape(okshape), g, jnp.nan)
+        hist_q = self.ds["hist_q"]  # (G, nq, ...)
+        af = self.ds["af"]
+        (g, hist_q, af), squeeze = _spacify(g, hist_q, af)
+        af_v = interp_on_quantiles(g, hist_q, af, method=interp,
+                                   extrapolation=extrapolation)  # (G, ms, ...)
+        adj = _apply_kind(g, af_v, self.kind)
+        if squeeze:
+            adj = adj[..., 0]
+        flat = adj.reshape((-1,) + adj.shape[2:])
+        out = flat[jnp.asarray(flat_pos)]
+        out = jnp.moveaxis(out, 0, ax)
+        return sim.copy(data=out)
+
+
+class DetrendedQuantileMapping(TrainAdjust):
+    """DQM: mean-scaling + EQM on scaled data + linear detrend of sim
+    (xsdba.DetrendedQuantileMapping)."""
+
+    @classmethod
+    def _train(cls, ref, hist, *, group: Grouper, nquantiles: int = 20,
+               kind: str = "+"):
+        q = equally_spaced_nodes(nquantiles) if np.isscalar(nquantiles) \
+            else np.asarray(nquantiles)
+        mu_ref = _grouped_mean(ref, group)
+        mu_hist = _grouped_mean(hist, group)
+        scaling = _inv_kind(mu_ref, mu_hist, kind)  # (G, ...)
+        # scale hist to ref climatology then compute EQM factors
+        hist_sc = _apply_scaled(hist, scaling, group, kind)
+        ref_q = grouped_quantile(ref, group, q)
+        hist_q = grouped_quantile(hist_sc, group, q)
+        af = _inv_kind(ref_q, hist_q, kind)
+        return cls({"af": af, "hist_q": hist_q, "scaling": scaling,
+                    "quantiles": np.asarray(q)}, group=group, kind=kind)
+
+    def _adjust(self, sim: ClimArray, interp: str = "linear",
+                extrapolation: str = "constant", detrend: int = 1):
+        # 1. scale sim by the training scaling factors
+        sim_sc = _apply_scaled(sim, self.ds["scaling"], self.group, self.kind)
+        # 2. detrend (polynomial over decimal years); multiplicative series are
+        #    detrended as a ratio around the trend (xsdba PolyDetrend kind)
+        from xclim_tpu.indices.generic import detrend as _detrend_fn
+
+        residual = _detrend_fn(sim_sc, deg=detrend).data
+        trend = sim_sc.data - residual
+        if self.kind == "+":
+            detrended = sim_sc.copy(data=residual + jnp.nanmean(trend))
+        else:
+            safe_trend = jnp.where(trend == 0, jnp.nan, trend)
+            detrended = sim_sc.copy(data=sim_sc.data / safe_trend * jnp.nanmean(trend))
+        # 3. EQM with the trained factors
+        eqm = EmpiricalQuantileMapping(self.ds, group=self.group, kind=self.kind)
+        eqm.train_units = self.train_units
+        adj = eqm._adjust(detrended, interp=interp, extrapolation=extrapolation)
+        # 4. retrend
+        if self.kind == "+":
+            out = adj.data + (trend - jnp.nanmean(trend))
+        else:
+            out = adj.data * trend / jnp.nanmean(trend)
+        return sim.copy(data=out)
+
+
+class QuantileDeltaMapping(TrainAdjust):
+    """QDM: af at the simulation's own empirical rank — preserves sim deltas
+    (xsdba.QuantileDeltaMapping, Cannon et al. 2015)."""
+
+    @classmethod
+    def _train(cls, ref, hist, *, group: Grouper, nquantiles: int = 20,
+               kind: str = "+"):
+        q = equally_spaced_nodes(nquantiles) if np.isscalar(nquantiles) \
+            else np.asarray(nquantiles)
+        ref_q = grouped_quantile(ref, group, q)
+        hist_q = grouped_quantile(hist, group, q)
+        af = _inv_kind(ref_q, hist_q, kind)
+        return cls({"af": af, "hist_q": hist_q, "quantiles": np.asarray(q)},
+                   group=group, kind=kind)
+
+    def _adjust(self, sim: ClimArray, interp: str = "linear",
+                extrapolation: str = "constant"):
+        table, gid, flat_pos = self.group.adjust_table(sim.time)
+        ax = sim.time_axis
+        xf = jnp.moveaxis(sim.data, ax, 0)
+        t = jnp.asarray(table)
+        g = xf[jnp.maximum(t, 0)]
+        okshape = t.shape + (1,) * (g.ndim - 2)
+        g = jnp.where((t >= 0).reshape(okshape), g, jnp.nan)  # (G, ms, ...)
+        af = self.ds["af"]  # (G, nq, ...)
+        (g, af), squeeze = _spacify(g, af)
+        nvalid = jnp.sum(~jnp.isnan(g), axis=1).astype(jnp.int32)
+        tau = grouped_rank(g, nvalid)  # (G, ms, ...)
+        q = jnp.asarray(self.ds["quantiles"], dtype=jnp.float32)
+        qx = jnp.broadcast_to(q.reshape((1, -1) + (1,) * (af.ndim - 2)), af.shape)
+        af_v = interp_on_quantiles(tau, qx, af, method=interp,
+                                   extrapolation=extrapolation)
+        adj = _apply_kind(g, af_v, self.kind)
+        if squeeze:
+            adj = adj[..., 0]
+        flat = adj.reshape((-1,) + adj.shape[2:])
+        out = jnp.moveaxis(flat[jnp.asarray(flat_pos)], 0, ax)
+        return sim.copy(data=out)
+
+
+class Scaling(TrainAdjust):
+    """Simple per-group mean scaling (xsdba.Scaling)."""
+
+    @classmethod
+    def _train(cls, ref, hist, *, group: Grouper, kind: str = "+"):
+        scaling = _inv_kind(_grouped_mean(ref, group), _grouped_mean(hist, group), kind)
+        return cls({"af": scaling}, group=group, kind=kind)
+
+    def _adjust(self, sim: ClimArray, interp: str = "nearest"):
+        return _apply_scaled(sim, self.ds["af"], self.group, self.kind)
+
+
+def _grouped_mean(da: ClimArray, grouper: Grouper):
+    table = grouper.train_table(da.time)
+    ax = da.time_axis
+    xf = jnp.moveaxis(da.data, ax, 0)
+    t = jnp.asarray(table)
+    g = xf[jnp.maximum(t, 0)]
+    okshape = t.shape + (1,) * (g.ndim - 2)
+    ok = (t >= 0).reshape(okshape) & ~jnp.isnan(g)
+    s = jnp.where(ok, g, 0).sum(axis=1)
+    n = ok.sum(axis=1)
+    return jnp.where(n > 0, s / jnp.maximum(n, 1), jnp.nan)  # (G, ...)
+
+
+def _apply_scaled(da: ClimArray, scaling, grouper: Grouper, kind: str) -> ClimArray:
+    gid = grouper.group_of_step(da.time)
+    ax = da.time_axis
+    sc = jnp.take(scaling, jnp.asarray(gid), axis=0)  # (T, ...)
+    sc = jnp.moveaxis(sc, 0, ax)
+    out = _apply_kind(jnp.moveaxis(da.data, ax, ax), sc, kind)
+    res = da.copy(data=out)
+    return res
