@@ -1,0 +1,294 @@
+"""Ensemble robustness metrics (reference: xclim:src/xclim/ensembles/_robustness.py).
+
+Significance tests are computed analytically on device (Student-t /
+Welch / Mann-Whitney normal approximation / Brown-Forsythe F) with
+``jax.scipy.special.betainc`` supplying the t/F distribution CDFs — no scipy
+vectorize loops.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xclim_tpu.core.dataarray import ClimArray, ClimDataset
+
+__all__ = ["robustness_fractions", "robustness_categories", "robustness_coefficient"]
+
+
+def _t_sf(t, df):
+    """Two-sided p-value for a Student-t statistic (betainc identity)."""
+    x = df / (df + t * t)
+    return jax.scipy.special.betainc(df / 2.0, 0.5, x)
+
+
+def _nanmean(x, axis):
+    return jnp.nanmean(x, axis=axis)
+
+
+def _nanstd(x, axis, ddof=1):
+    n = jnp.sum(~jnp.isnan(x), axis=axis)
+    m = jnp.nanmean(x, axis=axis)
+    ss = jnp.nansum((x - jnp.expand_dims(m, axis)) ** 2, axis=axis)
+    return jnp.sqrt(ss / jnp.maximum(n - ddof, 1))
+
+
+def _ttest(fut, ref, tax, p_change=0.05):
+    """1-sample t-test of fut against the ref time-mean
+    (xclim:_robustness.py:519)."""
+    rmean = _nanmean(ref, tax)
+    n = jnp.sum(~jnp.isnan(fut), axis=tax)
+    fmean = _nanmean(fut, tax)
+    fstd = _nanstd(fut, tax)
+    t = (fmean - rmean) / (fstd / jnp.sqrt(jnp.maximum(n, 1)))
+    df = jnp.maximum(n - 1, 1).astype(jnp.float32)
+    pvals = _t_sf(jnp.abs(t), df)
+    return pvals < p_change, pvals
+
+
+def _welch_ttest(fut, ref, tax, p_change=0.05):
+    """Welch two-sample t-test (xclim:_robustness.py:553)."""
+    n1 = jnp.sum(~jnp.isnan(fut), axis=tax).astype(jnp.float32)
+    n2 = jnp.sum(~jnp.isnan(ref), axis=tax).astype(jnp.float32)
+    m1 = _nanmean(fut, tax)
+    m2 = _nanmean(ref, tax)
+    v1 = _nanstd(fut, tax) ** 2
+    v2 = _nanstd(ref, tax) ** 2
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / jnp.sqrt(se2)
+    df = se2 ** 2 / ((v1 / n1) ** 2 / jnp.maximum(n1 - 1, 1)
+                     + (v2 / n2) ** 2 / jnp.maximum(n2 - 1, 1))
+    pvals = _t_sf(jnp.abs(t), jnp.maximum(df, 1.0))
+    return pvals < p_change, pvals
+
+
+def _mannwhitney(fut, ref, tax, p_change=0.05):
+    """Mann-Whitney U with normal approximation & tie correction
+    (xclim:_robustness.py:585; the reference uses scipy's exact/asymptotic)."""
+    f = jnp.moveaxis(fut, tax, -1)
+    r = jnp.moveaxis(ref, tax, -1)
+    n1 = jnp.sum(~jnp.isnan(f), axis=-1).astype(jnp.float32)
+    n2 = jnp.sum(~jnp.isnan(r), axis=-1).astype(jnp.float32)
+    # U = sum over pairs of (f > r) + 0.5*(f == r)
+    gt = (f[..., :, None] > r[..., None, :]).sum(axis=(-2, -1)).astype(jnp.float32)
+    eq = (f[..., :, None] == r[..., None, :]).sum(axis=(-2, -1)).astype(jnp.float32)
+    U = gt + 0.5 * eq
+    mu = n1 * n2 / 2.0
+    sigma = jnp.sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0)
+    z = (U - mu) / jnp.where(sigma == 0, 1.0, sigma)
+    pvals = jax.scipy.special.erfc(jnp.abs(z) / jnp.sqrt(2.0))
+    return pvals < p_change, pvals
+
+
+def _brownforsythe(fut, ref, tax, p_change=0.05):
+    """Brown-Forsythe (Levene center=median) test (xclim:_robustness.py:614)."""
+    f = jnp.moveaxis(fut, tax, -1)
+    r = jnp.moveaxis(ref, tax, -1)
+    zf = jnp.abs(f - jnp.nanmedian(f, axis=-1, keepdims=True))
+    zr = jnp.abs(r - jnp.nanmedian(r, axis=-1, keepdims=True))
+    n1 = jnp.sum(~jnp.isnan(zf), axis=-1).astype(jnp.float32)
+    n2 = jnp.sum(~jnp.isnan(zr), axis=-1).astype(jnp.float32)
+    m1 = jnp.nanmean(zf, axis=-1)
+    m2 = jnp.nanmean(zr, axis=-1)
+    N = n1 + n2
+    grand = (n1 * m1 + n2 * m2) / N
+    ssb = n1 * (m1 - grand) ** 2 + n2 * (m2 - grand) ** 2
+    ssw = jnp.nansum((zf - m1[..., None]) ** 2, axis=-1) + \
+        jnp.nansum((zr - m2[..., None]) ** 2, axis=-1)
+    F = ssb * (N - 2) / jnp.where(ssw == 0, jnp.nan, ssw)
+    d1, d2 = 1.0, N - 2
+    x = d2 / (d2 + d1 * F)
+    pvals = jax.scipy.special.betainc(d2 / 2.0, d1 / 2.0, x)
+    return pvals < p_change, pvals
+
+
+def _ipcc_ar6_c(fut, ref, tax, ref_time=None, ref_pi=None):
+    """IPCC AR6 Atlas approach C (xclim:_robustness.py:637): change significant
+    when |Δ| exceeds γ = √(2/20)·1.645·σ of detrended annual ref."""
+    r = jnp.moveaxis(ref, tax, -1)
+    n = r.shape[-1]
+    t = jnp.arange(n, dtype=jnp.float32)
+    tm = t - t.mean()
+    beta = jnp.nansum(r * tm, axis=-1) / jnp.sum(tm * tm)
+    detr = r - beta[..., None] * tm
+    sigma = _nanstd(detr, -1)
+    gamma = np.sqrt(2 / 20) * 1.645 * sigma
+    delta = _nanmean(fut, tax) - _nanmean(ref, tax)
+    return jnp.abs(delta) > gamma, None
+
+
+SIGNIFICANCE_TESTS = {
+    "ttest": _ttest,
+    "welch-ttest": _welch_ttest,
+    "mannwhitney-utest": _mannwhitney,
+    "brownforsythe-test": _brownforsythe,
+    "ipcc-ar6-c": _ipcc_ar6_c,
+}
+
+
+def robustness_fractions(fut: ClimArray, ref: ClimArray | None = None,
+                         test: str | None = None, weights=None,
+                         strict_sign: bool = True, **kwargs) -> ClimDataset:
+    """Fractions of members showing (significant/positive/negative) change
+    (xclim:ensembles/_robustness.py:74)."""
+    rax = fut.dims.index("realization")
+    if ref is None:
+        deltas = fut.data
+        changed = jnp.ones_like(deltas, dtype=bool)
+        pvals = None
+        valid = ~jnp.isnan(deltas)
+        out_dims = tuple(d for d in fut.dims if d != "realization")
+    else:
+        tax = fut.dims.index("time")
+        deltas = jnp.nanmean(fut.data, axis=tax) - jnp.nanmean(ref.data, axis=tax)
+        valid = ~(jnp.isnan(fut.data).any(axis=tax) | jnp.isnan(ref.data).any(axis=tax))
+        if test is None:
+            changed = jnp.ones_like(deltas, dtype=bool)
+            pvals = None
+        elif test == "threshold":
+            if "abs_thresh" in kwargs:
+                changed = jnp.abs(deltas) > kwargs["abs_thresh"]
+            elif "rel_thresh" in kwargs:
+                rel = deltas / jnp.nanmean(ref.data, axis=tax)
+                changed = jnp.abs(rel) > kwargs["rel_thresh"]
+            else:
+                raise ValueError("threshold test needs abs_thresh or rel_thresh")
+            pvals = None
+        else:
+            fn = SIGNIFICANCE_TESTS[test]
+            changed, pvals = fn(fut.data, ref.data, tax, **kwargs)
+        out_dims = tuple(d for d in fut.dims if d not in ("realization", "time"))
+        rax = [d for d in fut.dims if d != "time"].index("realization")
+
+    w = jnp.ones(deltas.shape[rax], dtype=jnp.float32) if weights is None \
+        else jnp.asarray(np.asarray(weights, dtype=np.float32))
+    shape = [1] * deltas.ndim
+    shape[rax] = len(w)
+    wr = jnp.broadcast_to(w.reshape(shape), deltas.shape)
+    wv = jnp.where(valid, wr, 0.0)
+    tot = wr.sum(axis=rax)
+    wtot = wv.sum(axis=rax)
+    denom = jnp.where(wtot == 0, 1.0, wtot)
+
+    if strict_sign:
+        pos = deltas > 0
+        neg = deltas < 0
+    else:
+        pos = deltas >= 0
+        neg = deltas <= 0
+
+    def frac(mask):
+        return jnp.where(mask & valid, wv, 0.0).sum(axis=rax) / denom
+
+    changed_frac = frac(changed)
+    pos_frac = frac(pos)
+    neg_frac = frac(neg)
+    changed_pos = frac(changed & pos)
+    changed_neg = frac(changed & neg)
+    if strict_sign:
+        zero_frac = 1.0 - pos_frac - neg_frac
+        agree = jnp.maximum(jnp.maximum(pos_frac, neg_frac), zero_frac)
+    else:
+        agree = jnp.maximum(pos_frac, neg_frac)
+    valid_frac = wtot / tot
+
+    coords = {c: v for c, v in fut.coords.items()
+              if c not in ("realization", "time")}
+
+    def mk(data, name, desc):
+        a = ClimArray(data, out_dims, dict(coords), {"units": "", "description": desc},
+                      name)
+        return a
+
+    out = ClimDataset({
+        "changed": mk(changed_frac, "changed",
+                      "Fraction of valid members showing significant change."),
+        "positive": mk(pos_frac, "positive",
+                       "Fraction of valid members showing positive change."),
+        "changed_positive": mk(changed_pos, "changed_positive",
+                               "Fraction of valid members showing significant and "
+                               "positive change."),
+        "negative": mk(neg_frac, "negative",
+                       "Fraction of valid members showing negative change."),
+        "changed_negative": mk(changed_neg, "changed_negative",
+                               "Fraction of valid members showing significant and "
+                               "negative change."),
+        "agree": mk(agree, "agree",
+                    "Fraction of valid members agreeing on the sign of change."),
+        "valid": mk(valid_frac, "valid", "Fraction of valid members."),
+    })
+    if pvals is not None:
+        pdims = tuple(d for d in fut.dims if d != "time")
+        pcoords = {c: v for c, v in fut.coords.items() if c != "time"}
+        out["pvals"] = ClimArray(pvals, pdims, pcoords, {"units": ""}, "pvals")
+    return out
+
+
+def robustness_categories(changed_or_fractions, agree=None,
+                          categories=None, ops=None, thresholds=None) -> ClimArray:
+    """Bin robustness fractions into IPCC-style categories
+    (xclim:ensembles/_robustness.py:336)."""
+    if categories is None:
+        categories = ["Robust signal", "No change or no signal", "Conflicting signal"]
+    if ops is None:
+        ops = [(">=", ">="), ("<", None), (">=", "<")]
+    if thresholds is None:
+        thresholds = [(0.66, 0.8), (0.66, None), (0.66, 0.8)]
+    if isinstance(changed_or_fractions, ClimDataset):
+        changed = changed_or_fractions["changed"]
+        agree = changed_or_fractions["agree"]
+    else:
+        changed = changed_or_fractions
+    import operator as op_mod
+
+    opmap = {">": op_mod.gt, ">=": op_mod.ge, "<": op_mod.lt, "<=": op_mod.le}
+    out = jnp.full(changed.shape, len(categories), dtype=jnp.int32)
+    # apply in reverse order so the first categories win
+    for i in reversed(range(len(categories))):
+        (op_c, op_a) = ops[i]
+        (th_c, th_a) = thresholds[i]
+        cond = opmap[op_c](changed.data, th_c)
+        if op_a is not None:
+            cond = cond & opmap[op_a](agree.data, th_a)
+        out = jnp.where(cond, i + 1, out)
+    res = changed.copy(data=out)
+    res.attrs = {"units": "",
+                 "flag_values": list(range(1, len(categories) + 1)),
+                 "flag_descriptions": categories}
+    return res
+
+
+def robustness_coefficient(fut: ClimArray, ref: ClimArray) -> ClimArray:
+    """Knutti & Sedláček (2013) robustness coefficient R = 1 - A1/A2
+    (xclim:ensembles/_robustness.py:430).
+
+    A1 integrates (pooled-ensemble CDF − ref CDF)²; A2 the mean of
+    (member CDF − pooled CDF)², over 50 value bins.
+    """
+    rest = tuple(d for d in fut.dims if d not in ("realization", "time"))
+    f = fut.transpose("realization", "time", *rest).data  # (R, T, ...)
+    r = ref.transpose("time", *[d for d in rest if d in ref.dims]).data  # (Tr, ...)
+    R_, T = f.shape[0], f.shape[1]
+    bins = 50
+    lo = jnp.minimum(jnp.nanmin(f), jnp.nanmin(r))
+    hi = jnp.maximum(jnp.nanmax(f), jnp.nanmax(r))
+    edges = jnp.linspace(lo, hi, bins)  # (bins,)
+    eshape = (bins,) + (1,) * (f.ndim - 1)
+
+    def cdf(x, axis):
+        xs = jnp.where(jnp.isnan(x), jnp.inf, x)
+        n = jnp.sum(~jnp.isnan(x), axis=axis)
+        e = edges.reshape((bins,) + (1,) * x.ndim)
+        cnt = (xs[None] <= e).sum(axis=axis + 1).astype(jnp.float32)
+        return cnt / jnp.maximum(n, 1)[None]
+
+    cdf_ref = cdf(r, 0)  # (bins, ...)
+    cdf_pool = cdf(f.reshape((R_ * T,) + f.shape[2:]), 0)  # (bins, ...)
+    cdf_mem = cdf(f, 1)  # (bins, R, ...)
+    A1 = ((cdf_pool - cdf_ref) ** 2).sum(axis=0)
+    A2 = ((cdf_mem - cdf_pool[:, None]) ** 2).sum(axis=0).mean(axis=0)
+    Rcoef = 1 - A1 / jnp.where(A2 == 0, jnp.nan, A2)
+    coords = {c: v for c, v in fut.coords.items() if c in rest}
+    return ClimArray(Rcoef, rest, coords, {"units": "", "long_name":
+                                           "Ensemble robustness coefficient"}, "R")
