@@ -1,8 +1,10 @@
 """Index functions (reference: xclim:src/xclim/indices/__init__.py)."""
 
 from xclim_tpu.indices._simple import *  # noqa: F401,F403
+from xclim_tpu.indices._agro import *  # noqa: F401,F403
 from xclim_tpu.indices._threshold import *  # noqa: F401,F403
 from xclim_tpu.indices._multivariate import *  # noqa: F401,F403
 from xclim_tpu.indices import converters  # noqa: F401
 from xclim_tpu.indices.converters import *  # noqa: F401,F403
 from xclim_tpu.indices.generic import *  # noqa: F401,F403
+from xclim_tpu.indices import helpers, stats  # noqa: F401

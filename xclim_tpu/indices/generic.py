@@ -563,7 +563,13 @@ def get_zones(da: ClimArray, zone_min=None, zone_max=None, zone_step=None,
             raise ValueError("Provide either bins or zone_min/zone_max/zone_step.")
         lo = _thresh(zone_min, da)
         hi = _thresh(zone_max, da)
-        step = _thresh(zone_step, da)
+        # the step is a difference: convert by scale only (no degC/degF offset)
+        sq = str2pint(zone_step) if isinstance(zone_step, str) else None
+        if sq is not None:
+            tgt = units2pint(da)
+            step = sq.magnitude * sq.units.scale / tgt.scale
+        else:
+            step = float(zone_step)
         nzone = int(round((hi - lo) / step))
         edges = np.linspace(lo, hi, nzone + 1)
     else:

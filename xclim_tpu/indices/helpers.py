@@ -172,3 +172,42 @@ def make_hourly_temperature(tasmin: ClimArray, tasmax: ClimArray) -> ClimArray:
     coords = dict(tasmin.coords)
     coords["time"] = new_time
     return ClimArray(data, tasmin.dims, coords, dict(tasmin.attrs), "tas")
+
+
+def huglin_day_length_latitude_coefficient(lat, method: str = "huglin",
+                                           cap_value: float = np.nan):
+    """Huglin day-length latitude coefficient k (xclim:indices/helpers.py:528).
+
+    'huglin': stepwise table (1.0 below 40°, +0.01 per 2° band to 1.06 at 50°);
+    'interpolated': linear ramp over 40-50°. Above 50°: cap_value.
+    """
+    lat_abs = np.abs(np.asarray(getattr(lat, "values", lat), dtype=np.float64))
+    if method == "huglin":
+        k = np.where(lat_abs <= 40, 1.0, cap_value)
+        for add, lo, hi in [(0.02, 40, 42), (0.03, 42, 44), (0.04, 44, 46),
+                            (0.05, 46, 48), (0.06, 48, 50)]:
+            k = np.where((lat_abs > lo) & (lat_abs <= hi), 1 + add, k)
+    elif method == "interpolated":
+        k = np.where(lat_abs <= 50, 1 + np.clip((lat_abs - 40) / 10, 0, None) * 0.06,
+                     cap_value)
+    else:
+        raise NotImplementedError(method)
+    return k
+
+
+def gladstones_day_length_latitude_coefficient(time, lat,
+                                               neutral_latitude: float = 40.0):
+    """Gladstones k: day length relative to the 40° reference latitude
+    (xclim:indices/helpers.py:623)."""
+    latv = np.atleast_1d(np.asarray(getattr(lat, "values", lat), dtype=np.float64))
+    dl = day_lengths(time, latv)
+    pivot_n = day_lengths(time, np.array([abs(neutral_latitude)]))
+    pivot_s = day_lengths(time, np.array([-abs(neutral_latitude)]))
+    k = np.where(latv[None, :] >= 0,
+                 np.asarray(dl.values) / np.asarray(pivot_n.values),
+                 np.asarray(dl.values) / np.asarray(pivot_s.values))
+    out = ClimArray(jnp.asarray(k.astype(np.float32)), ("time", "lat"),
+                    {"time": time, "lat": latv}, {"units": ""}, "k")
+    if np.ndim(lat) == 0:
+        out = out.isel(lat=0)
+    return out
