@@ -8,3 +8,5 @@ from xclim_tpu.indices import converters  # noqa: F401
 from xclim_tpu.indices.converters import *  # noqa: F401,F403
 from xclim_tpu.indices.generic import *  # noqa: F401,F403
 from xclim_tpu.indices import helpers, stats  # noqa: F401
+from xclim_tpu.indices import fire  # noqa: F401
+from xclim_tpu.indices.fire import *  # noqa: F401,F403
