@@ -711,15 +711,16 @@ def _period_index(time: TimeIndex, freq: str):
 
     step = {"W": 7 * 86400, "D": 86400, "h": 3600, "min": 60, "s": 1}[base] * mult
     enc = time.encode()
-    # anchor weekly periods on Monday (ISO) unless anchor given; 0001-01-01 is a Monday
-    # in proleptic Gregorian.
-    off0 = 0
     if base == "W":
+        # anchor weekly periods on the weekday; 0001-01-01 is a Monday in the
+        # proleptic Gregorian calendar. pandas W-XXX = weeks ending on XXX.
         wd_anchor = {"MON": 0, "TUE": 1, "WED": 2, "THU": 3, "FRI": 4, "SAT": 5, "SUN": 6}
-        # pandas W-XXX means weeks *ending* on XXX; start is the day after.
         endday = wd_anchor.get((anchor or "SUN").upper(), 6)
         startday = (endday + 1) % 7
-        off0 = (86400 + startday * 86400)  # ordinal day 1 (=Monday) encodes to 86400*1
+        off0 = 86400 + startday * 86400  # ordinal day 1 (=Monday) encodes to 86400
+    else:
+        # anchor at the first step's day start (pandas origin='start_day')
+        off0 = int(enc[0] // 86400 * 86400)
     pidx = (enc - off0) // step
 
     def label_for(p):

@@ -2,6 +2,9 @@
 
 from xclim_tpu.indices._simple import *  # noqa: F401,F403
 from xclim_tpu.indices._agro import *  # noqa: F401,F403
+from xclim_tpu.indices._anuclim import *  # noqa: F401,F403
+from xclim_tpu.indices._hydrology import *  # noqa: F401,F403
+from xclim_tpu.indices._synoptic import *  # noqa: F401,F403
 from xclim_tpu.indices._threshold import *  # noqa: F401,F403
 from xclim_tpu.indices._multivariate import *  # noqa: F401,F403
 from xclim_tpu.indices import converters  # noqa: F401
