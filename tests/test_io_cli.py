@@ -1,0 +1,102 @@
+"""NetCDF IO roundtrip + CLI end-to-end (reference: xclim tests/test_cli.py)."""
+
+import numpy as np
+import pytest
+from click.testing import CliRunner
+
+from xclim_tpu.cli import cli
+from xclim_tpu.core.dataarray import ClimDataset
+from xclim_tpu.io import open_dataset, to_netcdf
+from xclim_tpu.testing.helpers import generate_atmos, test_timeseries
+
+
+@pytest.fixture
+def nc_file(tmp_path):
+    ds = generate_atmos(nyears=2)
+    path = tmp_path / "atmos.nc"
+    to_netcdf(ds, path)
+    return path
+
+
+class TestIO:
+    def test_roundtrip(self, tmp_path):
+        ds = generate_atmos(nyears=1)
+        path = tmp_path / "rt.nc"
+        to_netcdf(ds, path)
+        back = open_dataset(path)
+        assert set(back.keys()) == set(ds.keys())
+        np.testing.assert_allclose(back["tas"].values, ds["tas"].values, rtol=1e-6)
+        assert back["tas"].attrs["units"] == "K"
+        t0, t1 = ds["tas"].time, back["tas"].time
+        assert t0 == t1
+
+    def test_noleap_roundtrip(self, tmp_path):
+        da = test_timeseries(np.arange(365.0), "tas", calendar="noleap",
+                             start="2001-01-01")
+        path = tmp_path / "nl.nc"
+        to_netcdf(da, path)
+        back = open_dataset(path)
+        assert back["tas"].time.calendar == "noleap"
+        assert back["tas"].time.year[-1] == 2001
+
+    def test_scipy_netcdf3(self, tmp_path):
+        # write a classic NetCDF3 file with scipy and read it back
+        from scipy.io import netcdf_file
+
+        path = tmp_path / "classic.nc"
+        with netcdf_file(str(path), "w") as f:
+            f.createDimension("time", 5)
+            t = f.createVariable("time", "f8", ("time",))
+            t[:] = np.arange(5)
+            t.units = b"days since 2000-01-01"
+            t.calendar = b"standard"
+            v = f.createVariable("tas", "f4", ("time",))
+            v[:] = np.arange(5, dtype=np.float32) + 280
+            v.units = b"K"
+        ds = open_dataset(path)
+        assert ds["tas"].time.year[0] == 2000
+        np.testing.assert_allclose(ds["tas"].values, np.arange(5) + 280)
+
+
+class TestCli:
+    def test_indices_list(self):
+        out = CliRunner().invoke(cli, ["indices"])
+        assert out.exit_code == 0
+        assert "tg_mean" in out.output
+
+    def test_info(self):
+        out = CliRunner().invoke(cli, ["info", "tg_mean"])
+        assert out.exit_code == 0
+        assert "tg_mean" in out.output
+
+    def test_show_version_info(self):
+        out = CliRunner().invoke(cli, ["show_version_info"])
+        assert out.exit_code == 0
+        assert "jax" in out.output
+
+    def test_indicator_end_to_end(self, nc_file, tmp_path):
+        outfile = tmp_path / "out.nc"
+        res = CliRunner().invoke(cli, ["-i", str(nc_file), "-o", str(outfile),
+                                       "tg_mean", "--freq", "YS"])
+        assert res.exit_code == 0, res.output
+        out = open_dataset(outfile)
+        assert "tg_mean" in out
+        assert out["tg_mean"].attrs["units"] == "K"
+
+    def test_chained_indicators(self, nc_file, tmp_path):
+        outfile = tmp_path / "out2.nc"
+        res = CliRunner().invoke(cli, ["-i", str(nc_file), "-o", str(outfile),
+                                       "tg_mean", "--freq", "YS",
+                                       "frost_days", "--freq", "YS"])
+        assert res.exit_code == 0, res.output
+        out = open_dataset(outfile)
+        assert "tg_mean" in out and "frost_days" in out
+
+    def test_dataflags_cmd(self, nc_file):
+        res = CliRunner().invoke(cli, ["-i", str(nc_file), "dataflags", "-v", "tas"])
+        assert res.exit_code == 0, res.output
+        assert "tas_" in res.output
+
+    def test_missing_input_error(self):
+        res = CliRunner().invoke(cli, ["tg_mean", "--freq", "YS"])
+        assert res.exit_code != 0

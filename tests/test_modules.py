@@ -1,0 +1,98 @@
+"""YAML virtual modules (reference: xclim tests/test_modules.py)."""
+
+import numpy as np
+import pytest
+
+import xclim_tpu
+from xclim_tpu.indicators import anuclim, cf, icclim
+from xclim_tpu.testing.helpers import generate_atmos
+
+
+@pytest.fixture(scope="module")
+def atmos_ds():
+    return generate_atmos(nyears=3)
+
+
+class TestICCLIM:
+    def test_built(self):
+        names = [k for k, v in vars(icclim).items() if hasattr(v, "identifier")]
+        assert len(names) == 55
+
+    def test_tg(self, atmos_ds):
+        out = icclim.TG(ds=atmos_ds, freq="MS")
+        assert out.name == "TG"
+        assert out.attrs["units"] == "K"
+        assert len(out.time) == 36
+
+    def test_su_injected_thresh(self, atmos_ds):
+        out = icclim.SU(ds=atmos_ds, freq="YS")
+        v = np.asarray(out.values)
+        assert v.shape == (3,)
+        ref = xclim_tpu.indices.tx_days_above(atmos_ds["tasmax"], thresh="25 degC",
+                                              freq="YS")
+        np.testing.assert_allclose(v, np.asarray(ref.values))
+
+    def test_r10mm(self, atmos_ds):
+        out = icclim.R10mm(ds=atmos_ds, freq="YS")
+        assert out.attrs["units"] in ("d", "days")
+
+    def test_fd(self, atmos_ds):
+        out = icclim.FD(ds=atmos_ds, freq="YS")
+        ref = xclim_tpu.indices.frost_days(atmos_ds["tasmin"], thresh="0 degC",
+                                           freq="YS")
+        np.testing.assert_allclose(np.asarray(out.values), np.asarray(ref.values))
+
+
+class TestAnuclim:
+    def test_built(self):
+        names = [k for k, v in vars(anuclim).items() if hasattr(v, "identifier")]
+        assert len(names) == 19
+
+    def test_p1(self, atmos_ds):
+        out = anuclim.P1_AnnMeanTemp(ds=atmos_ds, freq="YS")
+        assert out.attrs["units"] == "K"
+        np.testing.assert_allclose(
+            np.asarray(out.values),
+            np.asarray(xclim_tpu.indices.tg_mean(atmos_ds["tas"], freq="YS").values))
+
+    def test_p4(self, atmos_ds):
+        out = anuclim.P4_TempSeasonality(ds=atmos_ds, freq="YS")
+        assert out.attrs["units"] == "%"
+
+
+class TestCF:
+    def test_built(self):
+        names = [k for k, v in vars(cf).items() if hasattr(v, "identifier")]
+        assert len(names) >= 30
+
+    def test_tg(self, atmos_ds):
+        out = cf.tg(ds=atmos_ds, freq="YS")
+        assert out.attrs["units"] == "K"
+
+    def test_cfd_count(self, atmos_ds):
+        out = cf.cfd(ds=atmos_ds, freq="YS")
+        ref = xclim_tpu.indices.frost_days(atmos_ds["tasmin"], freq="YS")
+        np.testing.assert_allclose(np.asarray(out.values), np.asarray(ref.values))
+
+
+class TestCustomYaml:
+    def test_build_from_file(self, tmp_path):
+        yml = tmp_path / "custom.yml"
+        yml.write_text("""
+module: custom_test
+realm: atmos
+indicators:
+  my_tg:
+    base: tg_mean
+  hot30:
+    base: tx_days_above
+    parameters:
+      thresh: 30 degC
+""")
+        mod = xclim_tpu.build_indicator_module_from_yaml(yml)
+        assert hasattr(mod, "my_tg")
+        from xclim_tpu.testing.helpers import generate_atmos
+
+        ds = generate_atmos(nyears=1)
+        out = mod.my_tg(ds=ds, freq="YS")
+        assert out.shape == (1,)

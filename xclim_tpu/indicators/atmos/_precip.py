@@ -30,6 +30,7 @@ __all__ = [
     "wet_spell_total_length",
     "wetdays",
     "wetdays_prop",
+    "wet_prcptot",
 ]
 
 
@@ -285,4 +286,17 @@ wet_spell_max_length = Precip(
     long_name="Maximum length of wet spells",
     description="{freq} maximum length of wet spells.",
     compute=indices.wet_spell_max_length,
+)
+
+
+wet_prcptot = PrecipWithIndexing(
+    identifier="wet_prcptot",
+    title="Total accumulated precipitation over wet days",
+    units="mm",
+    long_name="Total accumulated precipitation over days with precipitation at "
+              "or above {thresh}",
+    description="{freq} total precipitation over wet days (precipitation at or "
+                "above {thresh}).",
+    compute=indices.prcptot,
+    parameters={"thresh": {"default": "1 mm/d"}},
 )

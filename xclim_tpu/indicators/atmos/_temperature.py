@@ -75,6 +75,14 @@ __all__ = [
     "tx_min",
     "tx_tn_days_above",
     "warm_spell_duration_index",
+    "tropical_nights",
+    "maximum_consecutive_warm_days",
+    "cold_and_dry_days",
+    "warm_and_dry_days",
+    "warm_and_wet_days",
+    "cold_and_wet_days",
+    "huglin_index",
+    "biologically_effective_degree_days",
 ]
 
 
@@ -744,4 +752,88 @@ degree_days_exceedance_date = Temp(
     description="Day of year when the integral of degree days (mean temperature "
                 "{op} {thresh}) exceeds {sum_thresh}.",
     compute=indices.degree_days_exceedance_date,
+)
+
+
+tropical_nights = TempWithIndexing(
+    identifier="tropical_nights",
+    title="Tropical nights",
+    units="days",
+    long_name="Number of days with minimum temperature above {thresh}",
+    description="{freq} number of tropical nights (minimum temperature above "
+                "{thresh}).",
+    cell_methods="time: sum over days",
+    compute=indices.tn_days_above,
+    parameters={"thresh": {"default": "20.0 degC"}},
+)
+
+maximum_consecutive_warm_days = Temp(
+    identifier="maximum_consecutive_warm_days",
+    title="Maximum consecutive warm days",
+    units="days",
+    long_name="Maximum number of consecutive days with maximum temperature "
+              "above {thresh}",
+    description="{freq} longest spell of consecutive days with maximum "
+                "temperature above {thresh}.",
+    compute=indices.maximum_consecutive_tx_days,
+)
+
+cold_and_dry_days = TempWithIndexing(
+    identifier="cold_and_dry_days",
+    title="Cold and dry days",
+    units="days",
+    long_name="Number of days where temperature is below the 25th percentile "
+              "and precipitation below the 25th percentile",
+    description="{freq} number of days with cold (< 25th percentile) and dry "
+                "(< 25th percentile) conditions.",
+    compute=indices.cold_and_dry_days,
+)
+
+warm_and_dry_days = TempWithIndexing(
+    identifier="warm_and_dry_days",
+    title="Warm and dry days",
+    units="days",
+    long_name="Number of days with warm (> 75th percentile) and dry "
+              "(< 25th percentile) conditions",
+    description="{freq} number of days with warm and dry conditions.",
+    compute=indices.warm_and_dry_days,
+)
+
+warm_and_wet_days = TempWithIndexing(
+    identifier="warm_and_wet_days",
+    title="Warm and wet days",
+    units="days",
+    long_name="Number of days with warm (> 75th percentile) and wet "
+              "(> 75th percentile) conditions",
+    description="{freq} number of days with warm and wet conditions.",
+    compute=indices.warm_and_wet_days,
+)
+
+cold_and_wet_days = TempWithIndexing(
+    identifier="cold_and_wet_days",
+    title="Cold and wet days",
+    units="days",
+    long_name="Number of days with cold (< 25th percentile) and wet "
+              "(> 75th percentile) conditions",
+    description="{freq} number of days with cold and wet conditions.",
+    compute=indices.cold_and_wet_days,
+)
+
+huglin_index = Temp(
+    identifier="huglin_index",
+    title="Huglin heliothermal index",
+    units="",
+    long_name="Huglin heliothermal index",
+    description="Heat-summation index for viticulture (Huglin).",
+    compute=indices.huglin_index,
+)
+
+biologically_effective_degree_days = Temp(
+    identifier="biologically_effective_degree_days",
+    title="Biologically effective degree days",
+    units="K days",
+    long_name="Biologically effective growing degree days",
+    description="Considers daily tasmin/tasmax with latitude-adjusted degree "
+                "days between {start_date} and {end_date}.",
+    compute=indices.biologically_effective_degree_days,
 )

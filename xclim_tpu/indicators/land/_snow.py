@@ -17,6 +17,7 @@ __all__ = [
     "snw_season_length",
     "snw_season_start",
     "snw_storm_days",
+    "snow_depth",
 ]
 
 
@@ -130,4 +131,15 @@ blowing_snow = Snow(
     description="{freq} number of days with snowfall over last {window} days "
                 "above {snd_thresh} and wind speed above {sfcWind_thresh}.",
     compute=indices.blowing_snow,
+)
+
+
+snow_depth = Snow(
+    identifier="snow_depth",
+    title="Mean snow depth",
+    units="cm",
+    long_name="Mean of daily snow depth",
+    description="{freq} mean of daily mean snow depth.",
+    cell_methods="time: mean over days",
+    compute=indices.snow_depth,
 )
