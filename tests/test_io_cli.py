@@ -100,3 +100,35 @@ class TestCli:
     def test_missing_input_error(self):
         res = CliRunner().invoke(cli, ["tg_mean", "--freq", "YS"])
         assert res.exit_code != 0
+
+
+class TestNativeReader:
+    def test_native_vs_scipy(self, tmp_path):
+        from scipy.io import netcdf_file
+
+        from xclim_tpu.io.native import NativeNC3, get_lib
+
+        if get_lib() is None:
+            pytest.skip("no compiler")
+        path = tmp_path / "native.nc"
+        rng = np.random.default_rng(0)
+        with netcdf_file(str(path), "w") as f:
+            f.createDimension("time", None)
+            f.createDimension("x", 7)
+            t = f.createVariable("time", "f8", ("time",))
+            t.units = b"days since 2000-01-01"
+            v = f.createVariable("tas", "f4", ("time", "x"))
+            v.units = b"K"
+            t[:] = np.arange(20)
+            v[:] = rng.random((20, 7)).astype(np.float32)
+            s = f.createVariable("fixed", "i4", ("x",))
+            s[:] = np.arange(7, dtype=np.int32)
+        from xclim_tpu.io import open_dataset
+
+        ds = open_dataset(path)  # goes through the native path
+        with netcdf_file(str(path), "r", mmap=False) as f:
+            np.testing.assert_allclose(ds["tas"].values,
+                                       np.asarray(f.variables["tas"][:]), rtol=1e-7)
+            np.testing.assert_array_equal(np.asarray(ds["fixed"].values),
+                                          np.asarray(f.variables["fixed"][:]))
+        assert ds["tas"].time.year[0] == 2000

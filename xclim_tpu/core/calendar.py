@@ -880,3 +880,89 @@ def percentile_doy_table(time: TimeIndex, window: int = 5) -> tuple[np.ndarray, 
     table = np.where(inrange, pos[idx], -1)
     table = np.where(table >= 0, table, -1)
     return table.reshape(len(doys), -1).astype(np.int32), doys.astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# period stacking (xclim core/calendar.py:1396 stack_periods / :1598 unstack)
+# ---------------------------------------------------------------------------
+
+
+def stack_periods_table(time: TimeIndex, window: int = 30, stride: int | None = None,
+                        min_length: int | None = None, freq: str = "YS"):
+    """Static gather table for stacking `window`-period slices along a new
+    'period' axis (the reference's stack_periods, core/calendar.py:1396).
+
+    Returns (table, period_starts): table (n_periods, max_len) int32 indices
+    into the time axis (-1 padded), and the TimeIndex of period starts.
+    """
+    stride = stride or window
+    min_length = min_length or window
+    spec = resample_segments(time, freq)
+    n = spec.nseg
+    starts = spec.starts
+    counts = spec.counts
+    periods = []
+    p_idx = []
+    for i0 in range(0, n, stride):
+        i1 = i0 + window
+        if i1 > n:
+            if (n - i0) < min_length:
+                break
+            i1 = n
+        s = int(starts[i0])
+        e = int(starts[i1 - 1] + counts[i1 - 1])
+        if (i1 - i0) < min_length:
+            continue
+        periods.append((s, e))
+        p_idx.append(i0)
+    if not periods:
+        raise ValueError("No complete periods found.")
+    maxlen = max(e - s for s, e in periods)
+    table = np.full((len(periods), maxlen), -1, dtype=np.int32)
+    for k, (s, e) in enumerate(periods):
+        table[k, : e - s] = np.arange(s, e, dtype=np.int32)
+    return table, spec.labels[np.asarray(p_idx)]
+
+
+def time_bnds(time: TimeIndex, freq: str | None = None):
+    """(start, end) encoded bounds of each period (xclim core/calendar.py:793).
+
+    Returns two TimeIndex of len(time) (or of the resampled periods if `freq`
+    is given): the lower and upper bounds of each timestamp's period.
+    """
+    if freq is None:
+        freq = time.infer_freq()
+        if freq is None:
+            raise ValueError("Cannot infer freq for time_bnds.")
+    pidx, label_for, _ = _period_index(time, freq)
+    uniq, inv = np.unique(pidx, return_inverse=True)
+    lab = label_for(uniq)
+    if len(lab) == 3:
+        lo = TimeIndex(lab[0], lab[1], lab[2], calendar=time.calendar)
+    else:
+        lo = TimeIndex(lab[0], lab[1], lab[2], lab[3], lab[4], lab[5],
+                       calendar=time.calendar)
+    lab2 = label_for(uniq + 1)
+    if len(lab2) == 3:
+        hi = TimeIndex(lab2[0], lab2[1], lab2[2], calendar=time.calendar)
+    else:
+        hi = TimeIndex(lab2[0], lab2[1], lab2[2], lab2[3], lab2[4], lab2[5],
+                       calendar=time.calendar)
+    return lo[inv], hi[inv]
+
+
+def climatological_mean_doy(arr: np.ndarray, time: TimeIndex,
+                            window: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """Mean and std climatology per day-of-year with a centered window
+    (xclim core/calendar.py:907). Host-side numpy."""
+    table, doys = percentile_doy_table(time, window=window)
+    arrf = np.moveaxis(np.asarray(arr), 0, 0)
+    g = np.where(table[..., None] >= 0 if arrf.ndim > 1 else table >= 0,
+                 arrf[np.maximum(table, 0)], np.nan)
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        mu = np.nanmean(g, axis=1)
+        sd = np.nanstd(g, axis=1)
+    return mu, sd

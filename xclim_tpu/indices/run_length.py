@@ -38,6 +38,7 @@ __all__ = [
     "runs_with_holes",
     "keep_longest_run",
     "suspicious_run",
+    "find_events",
 ]
 
 
@@ -398,3 +399,96 @@ def keep_longest_run(da: ClimArray, freq: str | None = None) -> ClimArray:
 def suspicious_run(da: ClimArray, window: int = 10, op: str = "==") -> ClimArray:
     out = _rl.suspicious_run(da.data, axis=da.time_axis, window=window, op=op)
     return da.copy(data=out)
+
+
+def find_events(condition: ClimArray, window: int,
+                condition_stop: ClimArray | None = None, window_stop: int = 1,
+                data: ClimArray | None = None, freq: str | None = None,
+                max_events: int | None = None) -> dict:
+    """Extract individual events along an 'event' dimension
+    (xclim run_length.py:1846).
+
+    An event starts with `window` consecutive True in `condition` and stops
+    with `window_stop` consecutive True in `condition_stop` (default: the
+    negation of `condition`). Ragged events are padded to a fixed capacity
+    (``max_events``, default T//(window+window_stop)+1) — the TPU-static
+    representation of the reference's variable-length event dimension.
+
+    Returns a dict with 'event_length', 'event_effective_length',
+    'event_start' (doy) and, if `data` given, 'event_sum'.
+    """
+    import jax
+
+    if condition_stop is None:
+        condition_stop = ~condition
+    mask = runs_with_holes(condition, window, condition_stop, window_stop)
+    ax = mask.time_axis
+    spec = _spec(mask, freq)
+    reset = None if spec is None else segment_boundaries_arr(spec)
+    mf = jnp.moveaxis(mask.data > 0, ax, 0)  # (T, ...)
+    T = mf.shape[0]
+    if reset is not None:
+        # split events at period boundaries
+        rs = reset.reshape((T,) + (1,) * (mf.ndim - 1))
+    prev = jnp.concatenate([jnp.zeros_like(mf[:1]), mf[:-1]], axis=0)
+    starts = mf & ~prev
+    if spec is not None:
+        starts = starts | (mf & rs)
+    E = max_events or (T // (window + window_stop) + 1)
+    # per-cell event index at each step (0-based; valid only inside events)
+    eid = jnp.cumsum(starts.astype(jnp.int32), axis=0) - 1
+    cshape = mf.shape[1:]
+    C = int(np.prod(cshape)) if cshape else 1
+    cell = jnp.arange(C, dtype=jnp.int32).reshape((1,) + cshape)
+    flat_ids = jnp.where(mf, eid, -1) * 1
+    ids = jnp.where(mf & (eid < E), cell * E + jnp.clip(eid, 0, E - 1), C * E)
+    ids_flat = ids.reshape(T, C).reshape(-1)
+    condf = jnp.moveaxis(_rl._as_bool(condition.data), ax, 0).reshape(T, C).reshape(-1)
+
+    def seg_sum(vals):
+        return jax.ops.segment_sum(vals, ids_flat, num_segments=C * E + 1)[:-1]
+
+    length = seg_sum(jnp.ones_like(ids_flat, dtype=jnp.float32)).reshape(C, E)
+    eff = seg_sum(condf.astype(jnp.float32)).reshape(C, E)
+    posj = jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.float32).reshape(T, 1), (T, C)).reshape(-1)
+    start_idx = jax.ops.segment_min(
+        jnp.where(jnp.moveaxis(starts, 0, 0).reshape(T, C).reshape(-1), posj, jnp.inf),
+        ids_flat, num_segments=C * E + 1)[:-1].reshape(C, E)
+
+    def unflat(x):
+        x = x.reshape(cshape + (E,)) if cshape else x.reshape(E)
+        valid = length.reshape(cshape + (E,)) if cshape else length.reshape(E)
+        return jnp.where(valid > 0, x, jnp.nan)
+
+    out_dims = tuple(d for d in mask.dims if d != "time") + ("event",)
+    coords = {k: v for k, v in mask.coords.items() if k != "time"}
+    coords["event"] = np.arange(1, E + 1)
+
+    def wrap(xdata, name, units="d"):
+        return ClimArray(xdata, out_dims, dict(coords), {"units": units}, name)
+
+    doys = np.concatenate([mask.time.doy.astype(np.float32), [np.nan]])
+    sidx = unflat(start_idx)
+    safe = jnp.where(jnp.isnan(sidx), len(mask.time), sidx).astype(jnp.int32)
+    start_doy = jnp.where(jnp.isnan(sidx), jnp.nan, jnp.asarray(doys)[safe])
+    out = {
+        "event_length": wrap(unflat(length), "event_length"),
+        "event_effective_length": wrap(unflat(eff), "event_effective_length"),
+        "event_start": wrap(start_doy, "event_start", units=""),
+    }
+    if data is not None:
+        dataf = jnp.moveaxis(jnp.nan_to_num(data.data), ax, 0).reshape(T, C).reshape(-1)
+        dsum = seg_sum(dataf).reshape(C, E)
+        out["event_sum"] = wrap(unflat(dsum), "event_sum",
+                                units=data.attrs.get("units", ""))
+    return out
+
+
+def segment_boundaries_arr(spec):
+    import numpy as _np
+
+    n = len(spec.seg_id)
+    m = _np.zeros(n, dtype=bool)
+    m[spec.starts] = True
+    return jnp.asarray(m)

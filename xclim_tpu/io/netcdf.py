@@ -106,6 +106,13 @@ def _open_h5(path, decode_times) -> ClimDataset:
 
 
 def _open_nc3(path, decode_times) -> ClimDataset:
+    # fast path: native mmap reader (xclim_tpu/io/native, C++)
+    try:
+        from xclim_tpu.io.native import NativeNC3
+
+        return _open_nc3_native(path, decode_times)
+    except Exception:
+        pass
     from scipy.io import netcdf_file
 
     ds = ClimDataset()
@@ -191,3 +198,35 @@ def to_netcdf(ds: ClimDataset | ClimArray, path, engine: str = "h5") -> None:
                 f.attrs[k] = val
             except TypeError:
                 f.attrs[k] = str(val)
+
+
+def _open_nc3_native(path, decode_times) -> ClimDataset:
+    from xclim_tpu.io.native import NativeNC3
+
+    ds = ClimDataset()
+    with NativeNC3(path) as nc:
+        allvars = nc.variables()
+        time_idx = None
+        if "time" in allvars and decode_times:
+            dims, vals, attrs = allvars["time"]
+            units = attrs.get("units", "days since 1970-01-01")
+            calendar = attrs.get("calendar", "standard")
+            time_idx = TimeIndex.from_cf(np.asarray(vals), units, calendar)
+        for name, (dims, data, attrs) in allvars.items():
+            if name in nc.dims:
+                continue
+            data = np.asarray(data)
+            fill = attrs.pop("_FillValue", None)
+            if fill is not None and data.dtype.kind == "f":
+                data = np.where(data == fill, np.nan, data)
+            coords = {}
+            for d in dims:
+                if d == "time" and time_idx is not None:
+                    coords["time"] = time_idx
+                elif d in allvars:
+                    coords[d] = np.asarray(allvars[d][1])
+            ds[name] = ClimArray(jnp.asarray(data.astype(np.float32)
+                                             if data.dtype.kind == "f" else data),
+                                 tuple(dims), coords, attrs, name)
+        ds.attrs = nc.global_attrs
+    return ds
