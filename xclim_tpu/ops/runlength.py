@@ -208,8 +208,12 @@ def windowed_run_events(x, window: int, axis: int = 0, spec: SegmentSpec | None 
     if window == 1:
         bf = jnp.moveaxis(b, axis, 0)
         prev = jnp.concatenate([jnp.zeros_like(bf[:1]), bf[:-1]], axis=0)
-        starts = (bf & ~prev).astype(jnp.float32)
-        d = jnp.moveaxis(starts, 0, axis)
+        starts = bf & ~prev
+        if spec is not None and resample_before_rl:
+            # a run crossing a period boundary restarts in the new period
+            seg_starts = segment_boundaries(spec, "last")
+            starts = starts | (bf & seg_starts.reshape((-1,) + (1,) * (bf.ndim - 1)))
+        d = jnp.moveaxis(starts.astype(jnp.float32), 0, axis)
     else:
         r = rle(b, axis=axis, index=index,
                 reset_spec=spec if resample_before_rl else None)
