@@ -1,0 +1,140 @@
+"""Whole-pipeline jit for index functions.
+
+Every index function in this framework is jax-traceable end-to-end: device
+data flows through pure jnp ops while calendars/units/metadata live host-side
+in coordinates that never depend on the data. ``climjit`` exploits this to
+compile an ENTIRE index pipeline (threshold compare → run scans → segment
+reductions → unit scaling) into one XLA program: ClimArray data become traced
+arguments, coordinates/attrs/static kwargs become part of the cache key.
+
+This is the structural replacement for the reference's laziness contract
+(dask graphs built by xarray, xclim tests' ``assert_lazy``): here "lazy" means
+"traced once, fused by XLA" — the cache hit count is observable via
+``climjit(...).trace_count`` (the analogue of the reference's laziness
+assertions, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+
+import jax
+import numpy as np
+
+from xclim_tpu.core.calendar import TimeIndex
+from xclim_tpu.core.dataarray import ClimArray
+
+__all__ = ["climjit"]
+
+
+def _coord_fingerprint(coords: dict) -> tuple:
+    out = []
+    for k in sorted(coords):
+        v = coords[k]
+        if isinstance(v, TimeIndex):
+            h = hashlib.blake2b(v.encode().tobytes(), digest_size=8).hexdigest()
+            out.append((k, "time", v.calendar, len(v), h))
+        else:
+            arr = np.asarray(v)
+            h = hashlib.blake2b(arr.tobytes(), digest_size=8).hexdigest()
+            out.append((k, str(arr.dtype), arr.shape, h))
+    return tuple(out)
+
+
+def _fingerprint(obj):
+    if isinstance(obj, ClimArray):
+        return ("ClimArray", obj.dims, tuple(obj.shape), str(obj.dtype),
+                _coord_fingerprint(obj.coords),
+                tuple(sorted((k, str(v)) for k, v in obj.attrs.items())))
+    if isinstance(obj, (int, float, str, bool, type(None))):
+        return obj
+    if isinstance(obj, (list, tuple)):
+        return tuple(_fingerprint(o) for o in obj)
+    if isinstance(obj, dict):
+        return tuple(sorted((k, _fingerprint(v)) for k, v in obj.items()))
+    arr = np.asarray(obj)
+    return ("array", str(arr.dtype), arr.shape,
+            hashlib.blake2b(arr.tobytes(), digest_size=8).hexdigest())
+
+
+def climjit(fn):
+    """Wrap an index function for whole-pipeline XLA compilation.
+
+    ClimArray arguments are treated as dynamic (their ``data`` is traced);
+    everything else — coordinates, attrs, thresholds, freq strings — is
+    static and keys the compilation cache.
+    """
+    cache: dict = {}
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        key = (_fingerprint(args), _fingerprint(kwargs))
+        if key not in cache:
+            # build a jitted function over the flat list of ClimArray datas
+            template_args = args
+            template_kwargs = kwargs
+
+            def traced(datas):
+                it = iter(datas)
+
+                def rebuild(o):
+                    if isinstance(o, ClimArray):
+                        return ClimArray(next(it), o.dims, o.coords, o.attrs, o.name)
+                    if isinstance(o, (list, tuple)):
+                        return type(o)(rebuild(x) for x in o)
+                    if isinstance(o, dict):
+                        return {k: rebuild(v) for k, v in o.items()}
+                    return o
+
+                new_args = tuple(rebuild(a) for a in template_args)
+                new_kwargs = {k: rebuild(v) for k, v in template_kwargs.items()}
+                out = fn(*new_args, **new_kwargs)
+                if isinstance(out, ClimArray):
+                    return out.data
+                if isinstance(out, tuple):
+                    return tuple(o.data if isinstance(o, ClimArray) else o
+                                 for o in out)
+                return out
+
+            jitted = jax.jit(traced)
+            wrapped.trace_count += 1
+
+            def runner(call_args, call_kwargs):
+                datas = []
+
+                def collect(o):
+                    if isinstance(o, ClimArray):
+                        datas.append(o.data)
+                    elif isinstance(o, (list, tuple)):
+                        for x in o:
+                            collect(x)
+                    elif isinstance(o, dict):
+                        for x in o.values():
+                            collect(x)
+
+                for a in call_args:
+                    collect(a)
+                for v in call_kwargs.values():
+                    collect(v)
+                return jitted(datas)
+
+            # run once eagerly to capture the output structure (coords/attrs)
+            proto = fn(*args, **kwargs)
+            cache[key] = (runner, proto)
+            first = True
+        else:
+            runner, proto = cache[key]
+            first = False
+        if first:
+            return proto
+        res = runner(args, kwargs)
+        if isinstance(proto, ClimArray):
+            return proto.copy(data=res)
+        if isinstance(proto, tuple):
+            return tuple(p.copy(data=r) if isinstance(p, ClimArray) else r
+                         for p, r in zip(proto, res))
+        return res
+
+    wrapped.trace_count = 0
+    return wrapped
