@@ -60,47 +60,41 @@ def make_tpu_bench(nyears=30, cells=(64, 64), window=5):
                       dtype=np.int32)  # (Y, Y-1)
     binfo = jnp.concatenate([np.arange(nyears, dtype=np.int32)[:, None], others], axis=1)
 
-    def pipeline(xx):
-        """xx: (T, C_slab) → bootstrapped tx90p counts (Y, C_slab).
-
-        scan over replaced years; the Y-1 replacement candidates are vmapped
-        (pure vector ops, no control flow → fast compile, full VPU width).
-        """
+    @jax.jit
+    def prepare(xx):
+        """Gather the sample tensor and sort/rank tables once."""
         D = xx[jnp.maximum(tbl, 0)]
-        D = jnp.where((tbl >= 0)[..., None], D, jnp.nan)  # (n_doy, Y, w, Cs)
+        D = jnp.where((tbl >= 0)[..., None], D, jnp.nan)  # (n_doy, Y, w, C)
         flat = D.reshape(n_doy, nyears * window, xx.shape[1])
         S, R, nv = sorted_rank_tables(flat)
-        Xy = xx[dayt]  # (Y, n_doy, Cs)
+        Xy = xx[dayt]  # (Y, n_doy, C)
+        return D, S, R, nv, Xy
 
-        def year_step(_, brow):
-            b = brow[0]
-            os_ = brow[1:]
-            A_b = jnp.take(D, b, axis=1)
-            xb = jnp.take(Xy, b, axis=0)  # (n_doy, Cs)
+    @jax.jit
+    def year_fn(D, S, R, nv, Xy, brow):
+        """Bootstrapped count for one replaced year (vmapped over the Y-1
+        replacement candidates). Kept as a small program — one compile,
+        Y dispatches — to stay friendly to the experimental TPU backend."""
+        b = brow[0]
+        os_ = brow[1:]
+        A_b = jnp.take(D, b, axis=1)
+        xb = jnp.take(Xy, b, axis=0)  # (n_doy, C)
 
-            def one_o(o):
-                A_o = jnp.take(D, o, axis=1)
-                per = replaced_year_quantile(S, R, nv, A_b, A_o, 0.9)
-                return (xb > per).astype(jnp.float32).sum(axis=0)  # (Cs,)
+        def one_o(o):
+            A_o = jnp.take(D, o, axis=1)
+            per = replaced_year_quantile(S, R, nv, A_b, A_o, 0.9)
+            return (xb > per).astype(jnp.float32).sum(axis=0)  # (C,)
 
-            cnts = jax.vmap(one_o)(os_)  # (Y-1, Cs)
-            return None, cnts.mean(axis=0)
+        return jax.vmap(one_o)(os_).mean(axis=0)
 
-        _, out = jax.lax.scan(year_step, None, binfo)
-        return out  # (Y, Cs)
+    def run(x):
+        D, S, R, nv, Xy = prepare(x)
+        outs = [year_fn(D, S, R, nv, Xy, binfo[b]) for b in range(nyears)]
+        return jnp.stack(outs, axis=0)
 
     @jax.jit
     def gen(key):
         return jax.random.normal(key, (T, C)) * 5.0 + 295.0
-
-    C_SLAB = min(C, 512)
-    jitted = jax.jit(pipeline)
-
-    def run(x):
-        outs = []
-        for s in range(0, C, C_SLAB):
-            outs.append(jitted(jax.lax.dynamic_slice_in_dim(x, s, C_SLAB, axis=1)))
-        return jnp.concatenate(outs, axis=1)
 
     return run, gen, T * C
 
@@ -138,32 +132,53 @@ def numpy_reference(nyears=30, cells=(2, 2), window=5, sample_years=2):
     return (T * C * sample_years / nyears) / dt
 
 
-def main():
+def _measure(cells):
     import jax
-    import numpy as _np
 
-    jitted, gen, cell_days = make_tpu_bench()
+    jitted, gen, cell_days = make_tpu_bench(cells=cells)
     key = jax.random.PRNGKey(0)
     x = gen(key)
     x.block_until_ready()
     out = jitted(x)
     out.block_until_ready()  # compile + first run
     times = []
-    for i in range(3):
+    for _ in range(3):
         key, sub = jax.random.split(key)
         x = gen(sub)
         x.block_until_ready()
         t0 = time.perf_counter()
         r = jitted(x)
-        v = float(r[0, 0])  # force completion with a real fetch
+        float(np.asarray(r[0, 0]))  # force completion with a real fetch
         times.append(time.perf_counter() - t0)
-    dt = min(times)
-    value = cell_days / dt
+    return cell_days / min(times)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    value = None
+    used = None
+    for cells in [(64, 64), (32, 32), (16, 16)]:
+        try:
+            value = _measure(cells)
+            used = cells
+            break
+        except Exception:
+            continue
+    if value is None:
+        print(json.dumps({"metric": "tx90p full 30yr bootstrap",
+                          "value": 0.0, "unit": "cell-days/s",
+                          "vs_baseline": 0.0, "error": "device unavailable"}))
+        return
 
     ref_single = numpy_reference()
     baseline = ref_single * 64 * 0.7  # estimated 64-core dask node
     print(json.dumps({
-        "metric": "grid-cell-days/sec/chip, tx90p full 30yr bootstrap (4096 cells)",
+        "metric": f"grid-cell-days/sec/chip, tx90p full 30yr bootstrap "
+                  f"({used[0] * used[1]} cells)",
         "value": round(value, 1),
         "unit": "cell-days/s",
         "vs_baseline": round(value / baseline, 2),
