@@ -1,0 +1,116 @@
+"""Streamflow indicator declarations
+(reference: xclim:src/xclim/indicators/land/_streamflow.py, 241 LoC)."""
+
+from __future__ import annotations
+
+from xclim_tpu import indices
+from xclim_tpu.core.indicator import Daily, ReducingIndicator, ResamplingIndicator
+
+__all__ = [
+    "base_flow_index",
+    "doy_qmax",
+    "doy_qmin",
+    "flow_index",
+    "high_flow_frequency",
+    "low_flow_frequency",
+    "rb_flashiness_index",
+    "standardized_groundwater_index",
+    "standardized_streamflow_index",
+]
+
+
+class Streamflow(Daily):
+    realm = "land"
+    context = "hydro"
+    keywords = "streamflow"
+
+
+base_flow_index = Streamflow(
+    identifier="base_flow_index",
+    title="Base flow index",
+    units="",
+    long_name="Base flow index",
+    description="Minimum of the 7-day moving average flow divided by the mean "
+                "flow.",
+    compute=indices.base_flow_index,
+)
+
+rb_flashiness_index = Streamflow(
+    identifier="rb_flashiness_index",
+    title="Richards-Baker flashiness index",
+    units="",
+    long_name="Richards-Baker flashiness index",
+    description="{freq} of Richards-Baker index, indicating the flashiness of "
+                "the streamflow.",
+    compute=indices.rb_flashiness_index,
+)
+
+doy_qmax = Streamflow(
+    identifier="doy_qmax",
+    title="Day of year of the maximum streamflow",
+    units="1",
+    long_name="Day of the year of the maximum streamflow",
+    description="Day of the year of the maximum streamflow over {freq}.",
+    compute=indices.generic.doymax,
+    parameters={"da": {"kind": 0}},
+)
+
+doy_qmin = Streamflow(
+    identifier="doy_qmin",
+    title="Day of year of the minimum streamflow",
+    units="1",
+    long_name="Day of the year of the minimum streamflow",
+    description="Day of the year of the minimum streamflow over {freq}.",
+    compute=indices.generic.doymin,
+    parameters={"da": {"kind": 0}},
+)
+
+standardized_streamflow_index = Streamflow(
+    identifier="ssi",
+    title="Standardized streamflow index",
+    units="",
+    long_name="Standardized streamflow index (SSI)",
+    description="Streamflow over a moving {window}-X window, normalized such "
+                "that SSI averages to 0 for the calibration data.",
+    compute=indices.standardized_streamflow_index,
+)
+
+standardized_groundwater_index = Streamflow(
+    identifier="sgi",
+    title="Standardized groundwater index",
+    units="",
+    long_name="Standardized groundwater index (SGI)",
+    description="Groundwater level over a moving {window}-X window, normalized "
+                "such that SGI averages to 0 for the calibration data.",
+    compute=indices.standardized_groundwater_index,
+)
+
+flow_index = ReducingIndicator(
+    identifier="flow_index",
+    realm="land",
+    title="Flow index",
+    units="1",
+    long_name="Flow index",
+    description="{p}th percentile normalized by the median flow.",
+    compute=indices.flow_index,
+)
+
+high_flow_frequency = Streamflow(
+    identifier="high_flow_frequency",
+    title="High flow frequency",
+    units="days",
+    long_name="High flow frequency",
+    description="{freq} frequency of flows greater than {threshold_factor} "
+                "times the median flow.",
+    compute=indices.high_flow_frequency,
+)
+
+low_flow_frequency = Streamflow(
+    identifier="low_flow_frequency",
+    title="Low flow frequency",
+    units="days",
+    long_name="Low flow frequency",
+    description="{freq} frequency of flows smaller than {threshold_factor} "
+                "times the mean flow.",
+    compute=indices.low_flow_frequency,
+)
