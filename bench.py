@@ -1,6 +1,5 @@
 """Benchmark: north-star metric from BASELINE.json — grid-cell-days/sec/chip on
-tx90p with the full Zhang-2005 iterated bootstrap (config #3; QDM train/adjust
-joins the composite once sdba lands).
+tx90p with the full Zhang-2005 iterated bootstrap (config #3).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 

@@ -157,7 +157,7 @@ class TestJetstream:
         time = date_range("2001-01-01", periods=n, freq="D")
         ua = ClimArray(jnp.asarray(u.astype(np.float32)), ("time", "lat"),
                        {"time": time, "lat": lats}, {"units": "m/s"}, "ua")
-        s, la = jetstream_metric_woollings(ua)
+        la, s = jetstream_metric_woollings(ua)
         sv = np.asarray(s.values)
         lv = np.asarray(la.values)
         ok = ~np.isnan(lv)

@@ -966,3 +966,167 @@ def climatological_mean_doy(arr: np.ndarray, time: TimeIndex,
         mu = np.nanmean(g, axis=1)
         sd = np.nanstd(g, axis=1)
     return mu, sd
+
+
+# ---------------------------------------------------------------------------
+# public array-level calendar operations
+# (xclim core/calendar.py:1166 mask_between_doys, :1396 stack_periods,
+#  :1598 unstack_periods; xarray-level convert_calendar)
+# ---------------------------------------------------------------------------
+
+
+def mask_between_doys(da, doy_bounds, include_bounds=(True, True)):
+    """Boolean mask of steps inside day-of-year bounds
+    (xclim core/calendar.py:1166).
+
+    `doy_bounds` may be a pair of ints (possibly wrapping the year end) or a
+    pair of ClimArrays of per-cell bounds without a time dim (broadcast over
+    the other dims). Returns a ClimArray of bools on `da`'s dims.
+    """
+    from xclim_tpu.core.dataarray import ClimArray
+
+    import jax.numpy as jnp
+
+    time = da.time if isinstance(da, ClimArray) else da
+    start, end = doy_bounds
+    if isinstance(start, (int, np.integer)) and isinstance(end, (int, np.integer)):
+        m = select_time_mask(time, doy_bounds=(int(start), int(end)),
+                             include_bounds=include_bounds)
+        if not isinstance(da, ClimArray):
+            return m
+        shape = [1] * da.ndim
+        shape[da.time_axis] = len(time)
+        data = jnp.broadcast_to(jnp.asarray(m).reshape(shape), da.shape)
+        return ClimArray(data, da.dims, dict(da.coords), {}, "mask")
+    # per-cell bounds
+    if not isinstance(da, ClimArray):
+        raise TypeError("Array bounds require a ClimArray input.")
+    sv = start.data if isinstance(start, ClimArray) else jnp.asarray(start)
+    ev = end.data if isinstance(end, ClimArray) else jnp.asarray(end)
+    sv = jnp.where(jnp.isnan(sv), 1.0, sv)
+    ev = jnp.where(jnp.isnan(ev), float(max_doy(time.calendar)), ev)
+    if not include_bounds[0]:
+        sv = sv + 1
+    if not include_bounds[1]:
+        ev = ev - 1
+    doy = jnp.asarray(time.doy.astype(np.float32))
+    shape = [1] * da.ndim
+    shape[da.time_axis] = len(time)
+    doy = doy.reshape(shape)
+    other = [1 if d == "time" else s for d, s in zip(da.dims, da.shape)]
+    svb = jnp.reshape(sv, other) if sv.ndim else sv
+    evb = jnp.reshape(ev, other) if ev.ndim else ev
+    wrap = svb > evb
+    inside = jnp.where(wrap, (doy >= svb) | (doy <= evb),
+                       (doy >= svb) & (doy <= evb))
+    return ClimArray(jnp.broadcast_to(inside, da.shape), da.dims,
+                     dict(da.coords), {}, "mask")
+
+
+def stack_periods(da, window: int = 30, stride: int | None = None,
+                  min_length: int | None = None, freq: str = "YS"):
+    """Stack (possibly overlapping) `window`-period slices of `da` on a new
+    leading 'period' dimension (xclim core/calendar.py:1396).
+
+    The reference builds ragged slices with coordinate bookkeeping; here one
+    static gather table produces a fixed (n_periods, max_len) layout, NaN
+    padded, which is what a batched jit step wants. The inverse mapping is
+    stashed in ``coords['_stack']`` for :func:`unstack_periods`.
+    """
+    from xclim_tpu.core.dataarray import ClimArray
+
+    import jax.numpy as jnp
+
+    table, starts = stack_periods_table(da.time, window=window, stride=stride,
+                                        min_length=min_length, freq=freq)
+    ax = da.time_axis
+    x = jnp.moveaxis(da.data, ax, 0)
+    tbl = jnp.asarray(table)
+    g = x[jnp.maximum(tbl, 0)]
+    mask = (tbl >= 0).reshape(tbl.shape + (1,) * (x.ndim - 1))
+    g = jnp.where(mask, g, jnp.nan)  # (n_periods, max_len, ...)
+    g = jnp.moveaxis(g, 1, ax + 1)
+    out_dims = ("period",) + da.dims
+    coords = {k: v for k, v in da.coords.items() if k != "time"}
+    coords["period"] = starts
+    coords["_stack"] = {"table": table, "time": da.time,
+                        "stride": stride or window, "window": window}
+    return ClimArray(g, out_dims, coords, dict(da.attrs), da.name)
+
+
+def unstack_periods(da, dim: str = "period"):
+    """Invert :func:`stack_periods` (xclim core/calendar.py:1598).
+
+    For overlapping windows (stride < window) each timestep takes its value
+    from the stride-wide core of the period it belongs to, as the reference
+    does when reconstructing from overlapping climatological windows.
+    """
+    from xclim_tpu.core.dataarray import ClimArray
+
+    import jax.numpy as jnp
+
+    info = da.coords.get("_stack")
+    if info is None:
+        raise ValueError("Input was not produced by stack_periods.")
+    table: np.ndarray = info["table"]
+    time: TimeIndex = info["time"]
+    pax = da.dims.index(dim)
+    x = jnp.moveaxis(da.data, pax, 0)
+    tax = da.dims.index("time") - (1 if pax < da.dims.index("time") else 0)
+    x = jnp.moveaxis(x, tax + 1, 1)  # (period, slot, ...)
+    n = len(time)
+    npd, maxlen = table.shape
+    # last-writer wins host-side: for each time step pick (period, slot) of the
+    # period whose core contains it; with stride==window this is the unique one
+    owner = np.full(n, -1, dtype=np.int64)
+    slot = np.zeros(n, dtype=np.int64)
+    for p in range(npd):
+        valid = table[p] >= 0
+        owner[table[p][valid]] = p
+        slot[table[p][valid]] = np.nonzero(valid)[0]
+    keep = owner >= 0
+    gathered = x[jnp.asarray(owner[keep]), jnp.asarray(slot[keep])]
+    out_dims = tuple(d for d in da.dims if d != dim)
+    ttax = out_dims.index("time")
+    out = jnp.moveaxis(gathered, 0, ttax)
+    coords = {k: v for k, v in da.coords.items() if k not in (dim, "_stack")}
+    coords["time"] = time[keep]
+    return ClimArray(out, out_dims, coords, dict(da.attrs), da.name)
+
+
+def convert_calendar(da, target: str, align_on: str = "date", missing=None):
+    """Convert a ClimArray's time coordinate to another calendar
+    (xarray ``convert_calendar`` / xclim core/calendar.py docs).
+
+    Dates absent from the target calendar (Feb 29 → noleap) are dropped;
+    with ``missing`` set and an inferable daily-or-coarser freq, dates of the
+    target calendar absent from the source are inserted filled with
+    ``missing``. ``align_on='year'`` is used automatically for 360_day
+    conversions (proportional doy mapping).
+    """
+    from xclim_tpu.core.dataarray import ClimArray
+
+    import jax.numpy as jnp
+
+    time = da.time
+    new_time, keep = time.convert_calendar(target)
+    ax = da.time_axis
+    x = jnp.moveaxis(da.data, ax, 0)
+    x = x[jnp.asarray(np.nonzero(keep)[0])]
+    if missing is not None:
+        freq = time.infer_freq() or "D"
+        full = date_range(new_time.isoformat(0), end=new_time.isoformat(len(new_time) - 1),
+                          freq=freq, calendar=target)
+        pos = {}
+        enc = full.encode()
+        lookup = {int(e): i for i, e in enumerate(enc)}
+        src = new_time.encode()
+        idx = np.array([lookup[int(e)] for e in src], dtype=np.int64)
+        shape = (len(full),) + x.shape[1:]
+        filled = jnp.full(shape, float(missing), dtype=x.dtype)
+        x = filled.at[jnp.asarray(idx)].set(x)
+        new_time = full
+    out = jnp.moveaxis(x, 0, ax)
+    coords = dict(da.coords)
+    coords["time"] = new_time
+    return ClimArray(out, da.dims, coords, dict(da.attrs), da.name)

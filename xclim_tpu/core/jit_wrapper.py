@@ -35,6 +35,9 @@ def _coord_fingerprint(coords: dict) -> tuple:
         if isinstance(v, TimeIndex):
             h = hashlib.blake2b(v.encode().tobytes(), digest_size=8).hexdigest()
             out.append((k, "time", v.calendar, len(v), h))
+        elif isinstance(v, dict):
+            # auxiliary metadata coords (e.g. stack_periods' '_stack' handle)
+            out.append((k, "aux", hash(repr(sorted(v.keys())))))
         else:
             arr = np.asarray(v)
             h = hashlib.blake2b(arr.tobytes(), digest_size=8).hexdigest()

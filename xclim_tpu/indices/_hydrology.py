@@ -26,6 +26,7 @@ __all__ = [
     "base_flow_index",
     "flow_index",
     "high_flow_frequency",
+    "lag_snowpack_flow_peaks",
     "low_flow_frequency",
     "melt_and_precip_max",
     "rb_flashiness_index",
@@ -184,6 +185,49 @@ def low_flow_frequency(q: ClimArray, threshold_factor: float = 0.2,
     thresh.attrs["units"] = q.attrs.get("units", "")
     out = threshold_count(q, "<", thresh, freq=freq)
     return to_agg_units(out, q, "count", deffreq="D")
+
+
+@declare_units(snw="[mass]/[area]", q="[discharge]")
+def lag_snowpack_flow_peaks(snw: ClimArray, q: ClimArray, freq: str = "YS-OCT",
+                            p: float = 0.9) -> ClimArray:
+    """Days between annual max snowpack and the mean date of high-flow days
+    (xclim:_hydrology.py:826).
+
+    High-flow days are those where q exceeds its per-period `p` quantile; the
+    lag is (mean high-flow date) − (date of max snw), negative when high flows
+    precede peak snow cover.  One static gather per period; the per-period
+    quantile + conditional date mean run as a single fused device program.
+    """
+    from xclim_tpu.core.calendar import resample_segments
+    from xclim_tpu.ops.quantile import nan_quantile
+    from xclim_tpu.ops.segments import _gather_segments, build_gather_table
+
+    spec = resample_segments(snw.time, freq)
+    ax = snw.time_axis
+    # seconds since series start, per time step
+    rel = (snw.time.encode() - snw.time.encode()[0]).astype(np.float64)
+
+    idx, has = segment_argminmax(snw.data, spec, "max", axis=ax)
+    relj = jnp.asarray(np.concatenate([rel, [np.nan]]), dtype=jnp.float32)
+    dt_snw = jnp.where(has, relj[jnp.where(idx >= 0, idx, len(rel))], jnp.nan)
+
+    table = build_gather_table(spec)
+    g, pad_ok = _gather_segments(q.data, table, q.time_axis)  # (nseg, maxlen, ...)
+    g = jnp.where(pad_ok, g, jnp.nan)
+    thr = nan_quantile(jnp.moveaxis(g, 1, 0), jnp.array([p]),
+                       axis=0)[0]  # (nseg, ...)
+    rel_tbl = jnp.where(jnp.asarray(table) >= 0,
+                        relj[jnp.maximum(jnp.asarray(table), 0)], jnp.nan)
+    rel_g = rel_tbl.reshape(rel_tbl.shape + (1,) * (g.ndim - 2))
+    high = g >= thr[:, None]
+    dt_q = jnp.nanmean(jnp.where(high, rel_g, jnp.nan), axis=1)  # (nseg, ...)
+
+    lag = (dt_q - jnp.moveaxis(dt_snw, ax, 0)) / 86400.0
+    lag = jnp.moveaxis(lag, 0, ax)
+    out_coords = dict(snw.coords)
+    out_coords["time"] = spec.labels
+    out = ClimArray(lag, snw.dims, out_coords, {"units": "d"}, "lag")
+    return out
 
 
 @declare_units(pr="[precipitation]")

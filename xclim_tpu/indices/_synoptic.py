@@ -61,4 +61,5 @@ def jetstream_metric_woollings(ua: ClimArray):
     s = ClimArray(strength, out_dims, coords, {"units": "m s-1"}, "jetstream_strength")
     la = ClimArray(latitude, out_dims, dict(coords), {"units": "degrees_north"},
                    "jetstream_latitude")
-    return s, la
+    # reference returns (jetlat, jetstr) in that order (xclim:_synoptic.py:100)
+    return la, s

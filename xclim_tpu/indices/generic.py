@@ -58,6 +58,7 @@ __all__ = [
     "statistics",
     "temperature_sum",
     "threshold_count",
+    "thresholded_events",
     "thresholded_statistics",
 ]
 
@@ -607,3 +608,36 @@ def detrend(da: ClimArray, deg: int = 1) -> ClimArray:
     trend = jnp.einsum("ti,ci->tc", V, coef)
     out = (flat - trend).reshape(x.shape)
     return da.copy(data=jnp.moveaxis(out, 0, ax))
+
+
+def thresholded_events(data: ClimArray, thresh, op: str, window: int,
+                       thresh_stop=None, op_stop: str | None = None,
+                       window_stop: int = 1, freq: str | None = None):
+    """Find all events defined by a start and a stop threshold condition
+    (xclim generic.py:1740).
+
+    An event starts after `window` consecutive steps satisfying
+    ``data op thresh`` and ends after `window_stop` consecutive steps
+    satisfying the stop condition (default: negation of the start condition).
+    Returns a ClimDataset with event_length / event_effective_length /
+    event_sum / event_start on a fixed-capacity 'event' dimension (NaN
+    padded — the TPU-static form of the reference's ragged events).
+    """
+    from xclim_tpu.core.dataarray import ClimDataset
+
+    thresh = convert_units_to(thresh, data)
+    da_start = compare(data, op, thresh)
+    if thresh_stop is None and op_stop is None:
+        da_stop = ~da_start
+    else:
+        thresh_stop = convert_units_to(
+            thresh_stop if thresh_stop is not None else thresh, data)
+        if op_stop is None:
+            inv = {"gt": "le", ">": "<=", "ge": "lt", ">=": "<",
+                   "lt": "ge", "<": ">=", "le": "gt", "<=": ">",
+                   "eq": "ne", "==": "!=", "ne": "eq", "!=": "=="}
+            op_stop = inv[op]
+        da_stop = compare(data, op_stop, thresh_stop)
+    out = rl.find_events(da_start, window, da_stop, window_stop,
+                         data=data, freq=freq)
+    return ClimDataset(out)

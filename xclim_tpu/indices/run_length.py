@@ -37,6 +37,7 @@ __all__ = [
     "season",
     "runs_with_holes",
     "keep_longest_run",
+    "run_bounds",
     "suspicious_run",
     "find_events",
 ]
@@ -483,6 +484,54 @@ def find_events(condition: ClimArray, window: int,
         out["event_sum"] = wrap(unflat(dsum), "event_sum",
                                 units=data.attrs.get("units", ""))
     return out
+
+
+def run_bounds(mask: ClimArray, coord: bool | str = True,
+               max_events: int | None = None) -> ClimArray:
+    """Start and end positions of boolean runs, on new ('bounds', 'events')
+    dims (xclim run_length.py:745).
+
+    The reference sizes the events dim dynamically; here it is the static
+    capacity ``max_events`` (default T//2+1, the worst case), NaN padded —
+    fixed shapes keep the whole thing inside one compiled program.
+
+    coord=False → indices; coord=True → time encoded as seconds since epoch;
+    coord='dayofyear' → day-of-year values.
+    """
+    ax = mask.time_axis
+    mf = jnp.moveaxis(_rl._as_bool(mask.data), ax, 0)
+    T = mf.shape[0]
+    E = max_events or (T // 2 + 1)
+    prev = jnp.concatenate([jnp.zeros_like(mf[:1]), mf[:-1]], axis=0)
+    nxt = jnp.concatenate([mf[1:], jnp.zeros_like(mf[:1])], axis=0)
+    starts = mf & ~prev
+    # reference's end = first False index after the run (diff == -1 position)
+    ends = mf & ~nxt
+    pos = jnp.arange(T, dtype=jnp.float32).reshape((T,) + (1,) * (mf.ndim - 1))
+
+    def first_e(flags, off=0.0):
+        # stable sort brings flagged positions forward in order
+        key = jnp.where(flags, pos + off, jnp.inf)
+        srt = jnp.sort(key, axis=0)[:E]
+        return jnp.where(jnp.isinf(srt), jnp.nan, srt)
+
+    s_idx = first_e(starts)
+    e_idx = first_e(ends, off=1.0)  # exclusive end index, as the reference's diff
+    out = jnp.stack([s_idx, e_idx], axis=0)  # (bounds=2, E, ...)
+    if coord:
+        if coord == "dayofyear":
+            vals = mask.time.doy.astype(np.float64)
+        else:
+            vals = mask.time.encode().astype(np.float64)
+        vj = jnp.asarray(np.concatenate([vals, [np.nan]]))
+        safe = jnp.where(jnp.isnan(out), T,
+                         jnp.clip(out, 0, T - 1)).astype(jnp.int32)
+        out = jnp.where(jnp.isnan(out), jnp.nan, vj[safe])
+    out = jnp.moveaxis(out, (0, 1), (0, 1))  # (bounds, events, ...)
+    out_dims = ("bounds", "events") + tuple(d for d in mask.dims if d != "time")
+    coords = {k: v for k, v in mask.coords.items() if k != "time"}
+    coords["events"] = np.arange(E)
+    return ClimArray(out, out_dims, coords, {}, "run_bounds")
 
 
 def segment_boundaries_arr(spec):
