@@ -1,8 +1,12 @@
 """Bias adjustment tests (reference seam: xclim tests/test_xsdba.py; behaviors
 per the train/adjust contract in xclim docs/sdba.rst)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
+
+from xclim_tpu.core.calendar import date_range
+from xclim_tpu.core.dataarray import ClimArray
 
 from xclim_tpu.sdba import (
     DetrendedQuantileMapping,
@@ -135,3 +139,46 @@ class TestScaling:
         scen = sc.adjust(hist)
         np.testing.assert_allclose(np.asarray(scen.values).mean(),
                                    base.mean(), atol=1e-3)
+
+
+class TestLOCI:
+    def test_wet_day_matching(self):
+        from xclim_tpu.sdba import LOCI
+
+        rng = np.random.default_rng(0)
+        t = date_range("2000-01-01", periods=3650, freq="D", calendar="noleap")
+        ref_v = np.where(rng.random(3650) < 0.3, rng.gamma(2, 5, 3650),
+                         0).astype(np.float32)
+        hist_v = np.where(rng.random(3650) < 0.5, rng.gamma(2, 2.5, 3650),
+                          0).astype(np.float32)
+
+        def mk(v):
+            return ClimArray(jnp.asarray(v), ("time",), {"time": t},
+                             {"units": "mm/d"}, "pr")
+
+        adj = LOCI.train(mk(ref_v), mk(hist_v), group="time", thresh="1 mm/d")
+        sv = np.asarray(adj.adjust(mk(hist_v)).data)
+        # wet-day frequency and wet-day mean both match ref
+        np.testing.assert_allclose((sv >= 1).mean(), (ref_v >= 1).mean(),
+                                   atol=0.005)
+        np.testing.assert_allclose(sv[sv >= 1].mean(),
+                                   ref_v[ref_v >= 1].mean(), rtol=0.01)
+
+    def test_monthly_group(self):
+        from xclim_tpu.sdba import LOCI
+
+        rng = np.random.default_rng(1)
+        t = date_range("2000-01-01", periods=3650, freq="D", calendar="noleap")
+        ref_v = np.where(rng.random(3650) < 0.4, rng.gamma(2, 4, 3650),
+                         0).astype(np.float32)
+        hist_v = (ref_v * 0.5).astype(np.float32)
+
+        def mk(v):
+            return ClimArray(jnp.asarray(v), ("time",), {"time": t},
+                             {"units": "mm/d"}, "pr")
+
+        adj = LOCI.train(mk(ref_v), mk(hist_v), group="time.month",
+                         thresh="1 mm/d")
+        sv = np.asarray(adj.adjust(mk(hist_v)).data)
+        np.testing.assert_allclose(sv[sv >= 1].mean(),
+                                   ref_v[ref_v >= 1].mean(), rtol=0.05)

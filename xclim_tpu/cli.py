@@ -140,10 +140,34 @@ def show_version_info(ctx):
     click.echo(f"devices: {[str(d) for d in jax.devices()]}")
 
 
+@click.command(short_help="Print the changelog.")
+@click.option("-m", "--md", is_flag=True, help="Markdown formatting.")
+@click.pass_context
+def release_notes(ctx, md):
+    """Print the package changelog (xclim:cli.py:300)."""
+    from pathlib import Path
+
+    changelog = Path(__file__).parent.parent / "CHANGELOG.md"
+    if changelog.exists():
+        click.echo(changelog.read_text())
+    else:
+        click.echo(f"xclim_tpu {xclim_tpu.__version__} — no changelog found.")
+
+
+@click.command(short_help="Prefetch testing data.")
+@click.pass_context
+def prefetch_testing_data(ctx):
+    """Download testing data (xclim:cli.py:270). This build generates its test
+    data synthetically (xclim_tpu.testing.helpers) — nothing to fetch."""
+    click.echo("xclim_tpu generates test data synthetically; nothing to fetch.")
+
+
 _STATIC_COMMANDS = {
     "indices": indices,
     "info": info,
     "dataflags": dataflags,
+    "prefetch_testing_data": prefetch_testing_data,
+    "release_notes": release_notes,
     "show_version_info": show_version_info,
 }
 

@@ -3,6 +3,7 @@ kernels (reference: the external xsdba package, re-exported by xclim.sdba —
 xclim:src/xclim/sdba.py)."""
 
 from xclim_tpu.sdba.adjustment import (  # noqa: F401
+    LOCI,
     DetrendedQuantileMapping,
     EmpiricalQuantileMapping,
     QuantileDeltaMapping,

@@ -33,7 +33,7 @@ def _spacify(*arrays):
     return out, squeeze
 
 __all__ = ["EmpiricalQuantileMapping", "DetrendedQuantileMapping",
-           "QuantileDeltaMapping", "Scaling"]
+           "QuantileDeltaMapping", "Scaling", "LOCI"]
 
 
 def _apply_kind(x, factor, kind):
@@ -216,6 +216,67 @@ class Scaling(TrainAdjust):
 
     def _adjust(self, sim: ClimArray, interp: str = "nearest"):
         return _apply_scaled(sim, self.ds["af"], self.group, self.kind)
+
+
+class LOCI(TrainAdjust):
+    """Local intensity scaling (Schmidli et al. 2006; xsdba.LOCI).
+
+    train: per group, find the hist threshold with the same exceedance
+    probability as `thresh` in ref, then the scaling factor equating mean
+    exceedances. adjust: ``max(af * (sim - s_thresh) + thresh, 0)``.
+    Designed for precipitation (wet-day intensity matching).
+    """
+
+    @classmethod
+    def _train(cls, ref, hist, *, group: Grouper, thresh: str = "1 mm/d"):
+        th = convert_units_to(str2pint(thresh), ref, context="infer") \
+            if isinstance(thresh, str) else float(thresh)
+
+        def _gather(da):
+            table = group.train_table(da.time)
+            xf = jnp.moveaxis(da.data, da.time_axis, 0)
+            t = jnp.asarray(table)
+            g = xf[jnp.maximum(t, 0)]
+            ok = (t >= 0).reshape(t.shape + (1,) * (g.ndim - 2))
+            return jnp.where(ok, g, jnp.nan)  # (G, maxlen, ...)
+
+        from xclim_tpu.ops.quantile import nan_quantile
+
+        gr = _gather(ref)
+        gh = _gather(hist)
+        # exceedance probability of thresh in ref, per group
+        wet = jnp.where(jnp.isnan(gr), jnp.nan, (gr >= th).astype(jnp.float32))
+        frac = jnp.nanmean(wet, axis=1)  # (G, ...)
+        # hist threshold at the same exceedance probability
+        q = jnp.clip(1.0 - frac, 0.0, 1.0)
+        gh_qfirst = jnp.moveaxis(gh, 1, 0)  # (maxlen, G, ...)
+        s = jnp.sort(gh_qfirst, axis=0)
+        nvalid = (~jnp.isnan(gh_qfirst)).sum(axis=0)
+        # Hyndman-Fan type-7 on the valid prefix, vectorized over groups
+        h = q * (nvalid - 1)
+        lo = jnp.clip(jnp.floor(h).astype(jnp.int32), 0, s.shape[0] - 1)
+        hi = jnp.clip(lo + 1, 0, s.shape[0] - 1)
+        w = h - lo
+        s_thresh = (jnp.take_along_axis(s, lo[None], axis=0)[0] * (1 - w) +
+                    jnp.take_along_axis(s, jnp.minimum(hi, jnp.maximum(nvalid - 1, 0))[None],
+                                        axis=0)[0] * w)
+        s_thresh = jnp.where(nvalid > 0, s_thresh, jnp.nan)
+        # mean exceedance ratio
+        mr = jnp.nanmean(jnp.where(gr >= th, gr, jnp.nan), axis=1) - th
+        mh = jnp.nanmean(jnp.where(gh >= s_thresh[:, None], gh, jnp.nan),
+                         axis=1) - s_thresh
+        af = mr / jnp.where(mh == 0, jnp.nan, mh)
+        return cls({"af": af, "hist_thresh": s_thresh}, group=group,
+                   kind="*", thresh=th)
+
+    def _adjust(self, sim: ClimArray, interp: str = "linear"):
+        gid = self.group.group_of_step(sim.time)
+        ax = sim.time_axis
+        af = jnp.take(self.ds["af"], jnp.asarray(gid), axis=0)  # (T, ...)
+        st = jnp.take(self.ds["hist_thresh"], jnp.asarray(gid), axis=0)
+        xf = jnp.moveaxis(sim.data, ax, 0)
+        out = jnp.maximum(af * (xf - st) + self.thresh, 0.0)
+        return sim.copy(data=jnp.moveaxis(out, 0, ax))
 
 
 def _grouped_mean(da: ClimArray, grouper: Grouper):

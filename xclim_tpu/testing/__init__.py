@@ -1,1 +1,9 @@
-from xclim_tpu.testing.helpers import generate_atmos, test_grid, test_timeseries  # noqa: F401
+"""Testing support: synthetic data generators and laziness guard
+(reference: xclim:src/xclim/testing/)."""
+
+from xclim_tpu.testing.helpers import (  # noqa: F401
+    assert_lazy,
+    generate_atmos,
+    test_grid,
+    test_timeseries,
+)

@@ -91,3 +91,25 @@ def generate_atmos(seed: int = 0, nyears: int = 4, calendar: str = "standard") -
 
 test_timeseries.__test__ = False  # noqa: E305  — pytest: not a test
 test_grid.__test__ = False
+
+
+class _LazinessGuard:
+    """Context manager asserting no host transfer happens inside the block
+    (the reference's `assert_lazy` guards against dask compute:
+    xclim:src/xclim/testing/helpers.py:220-238). Here it counts device→host
+    transfers via jax's transfer guard. Note: on the CPU backend host and
+    device memory are one and the guard never fires; it is effective on
+    TPU, which is where accidental transfers actually cost."""
+
+    def __enter__(self):
+        import jax
+
+        self._cm = jax.transfer_guard_device_to_host("disallow")
+        self._cm.__enter__()
+        return self
+
+    def __exit__(self, *exc):
+        return self._cm.__exit__(*exc)
+
+
+assert_lazy = _LazinessGuard()
