@@ -5,14 +5,22 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Algorithm (TPU-native, exact to reference semantics within float32):
   * doy-window samples gathered once into a (doy, year, window, cell) tensor
-  * each of the Y×(Y-1) year replacements is a one-hot select on the year
-    axis + one batched Hyndman-Fan quantile (fully fused on device) — the
-    reference's Python year-loop with per-year percentile_doy recomputes
-    (xclim:core/bootstrapping.py:81-212) becomes ~15 device dispatches
+  * top-k candidate kernel (ops/bootstrap.py topk_replaced_year_quantile):
+    the base sample set's top-24 values are extracted ONCE per cell with year
+    tags; each of the Y×(Y-1) year replacements then only masks the removed
+    year's entries, appends the added year's window samples and takes a
+    16-of-29 top_k — exact Hyndman-Fan quantiles without ever re-sorting the
+    150-sample set. The reference re-sorts per pair through percentile_doy
+    (xclim:core/bootstrapping.py:195-201).
   * per pair, exceedances are counted only over the replaced year's days
-  * the asymptotically faster sort-once rank-update kernel
-    (ops/bootstrap.py) is the next step once the experimental TPU backend's
-    remote compiler accepts it
+  * pairs run in fixed-size lax.scan chunks (one compiled program, few
+    dispatches) to stay inside the experimental TPU backend's program-size
+    limits
+
+Kernel choice, measured on one TPU chip at 30y × 4096 cells:
+  full re-sort per pair          347k cell-days/s   (fallback path)
+  rank-update binary search       27k cell-days/s   (gathers are TPU-hostile)
+  top-k candidates             1,056k cell-days/s   (this path)
 
 vs_baseline: ratio to an estimated reference throughput. The reference (xclim
 on CPU/dask) cannot run in this image (no xarray); the baseline is estimated by
@@ -41,27 +49,25 @@ def _tables(nyears: int):
     return time_idx, table, year_of_step, doy_idx
 
 
-def make_tpu_bench(nyears=30, cells=(64, 64), window=5, chunk_pairs=58):
-    """Sort-based batched bootstrap.
-
-    Each (replaced-year, replacement) pair recomputes the doy quantiles on the
-    modified sample tensor via one batched sort — already a fully-fused device
-    program vs the reference's Python loop. Pairs are processed in fixed-size
-    scan chunks (one compiled program, few dispatches) to stay inside the
-    experimental TPU backend's program-size limits. The asymptotically faster
-    rank-update kernel (ops/bootstrap.py, sort-once + order-statistic
-    counting, validated exact on CPU) currently overwhelms this backend's
-    remote compiler and is kept as the library/optimization path.
-    """
+def make_tpu_bench(nyears=30, cells=(64, 64), window=5, chunk_pairs=58,
+                   kernel="topk"):
+    """Batched bootstrap; `kernel` picks the per-pair quantile strategy:
+    'topk' (candidate tables, fastest) or 'sort' (full re-sort, fallback)."""
     import jax
     import jax.numpy as jnp
 
+    from xclim_tpu.ops.bootstrap import (
+        topk_capacity,
+        topk_rank_tables,
+        topk_replaced_year_quantile,
+    )
     from xclim_tpu.ops.quantile import nan_quantile
 
     time_idx, table, year_of_step, doy_idx = _tables(nyears)
     T = len(time_idx)
     n_doy = table.shape[0]  # 365 for noleap
     C = cells[0] * cells[1]
+    N = nyears * window
 
     # day_table[y, d] = time index of day d of year y (noleap → dense)
     day_table = np.full((nyears, n_doy), -1, dtype=np.int32)
@@ -70,6 +76,7 @@ def make_tpu_bench(nyears=30, cells=(64, 64), window=5, chunk_pairs=58):
 
     tbl = jnp.asarray(table.reshape(n_doy, nyears, window))
     dayt = jnp.asarray(day_table)
+    year_id = np.arange(nyears).repeat(window)
     pairs = np.array([(b, o) for b in range(nyears) for o in range(nyears) if o != b],
                      dtype=np.int32)
     npairs = len(pairs)
@@ -78,38 +85,65 @@ def make_tpu_bench(nyears=30, cells=(64, 64), window=5, chunk_pairs=58):
     if pad:
         pairs = np.concatenate([pairs, np.tile(pairs[-1:], (pad, 1))])
     chunks = jnp.asarray(pairs.reshape(nchunks, chunk_pairs, 2))
+    K = topk_capacity(N, window, 0.9)
 
-    @jax.jit
-    def prepare(xx):
-        D = xx[jnp.maximum(tbl, 0)]
-        D = jnp.where((tbl >= 0)[..., None], D, jnp.nan)  # (n_doy, Y, w, C)
-        Xy = xx[dayt]  # (Y, n_doy, C)
-        return D, Xy
+    if kernel == "topk":
 
-    @jax.jit
-    def chunk_fn(D, Xy, pair_chunk):
-        """Counts for `chunk_pairs` (b, o) pairs, sequential in one program."""
-        def pair_step(acc, bo):
-            b, o = bo[0], bo[1]
-            Dyo = jnp.take(D, o, axis=1)  # (n_doy, w, C)
-            onehot = (jnp.arange(nyears) == b).reshape(1, nyears, 1, 1)
-            Dmod = jnp.where(onehot, Dyo[:, None], D)
-            flat = Dmod.reshape(n_doy, nyears * window, C)
-            per = nan_quantile(flat, jnp.array([0.9]), axis=1,
-                               alpha=1 / 3, beta=1 / 3)[0]  # (n_doy, C)
-            xb = jnp.take(Xy, b, axis=0)
-            cnt = (xb > per).astype(jnp.float32).sum(axis=0)  # (C,)
-            return acc.at[b].add(cnt), None
+        @jax.jit
+        def prepare(xx):
+            D = jnp.where((tbl >= 0)[..., None], xx[jnp.maximum(tbl, 0)],
+                          jnp.nan)               # (n_doy, Y, w, C)
+            Xy = xx[dayt]                        # (Y, n_doy, C)
+            tabs = topk_rank_tables(D.reshape(n_doy, N, C), year_id, K)
+            Dt = D.transpose(0, 3, 1, 2)         # (n_doy, C, Y, w)
+            return (Dt, Xy) + tabs
 
-        acc0 = jnp.zeros((nyears, C), dtype=jnp.float32)
-        acc, _ = jax.lax.scan(pair_step, acc0, pair_chunk)
-        return acc
+        @jax.jit
+        def chunk_fn(Dt, Xy, topv, topyear, botv, botyear, nvalid, pair_chunk):
+            def pair_step(acc, bo):
+                b, o = bo[0], bo[1]
+                per = topk_replaced_year_quantile(
+                    topv, topyear, botv, botyear, nvalid,
+                    jnp.take(Dt, b, axis=2), jnp.take(Dt, o, axis=2), b, 0.9)
+                xb = jnp.take(Xy, b, axis=0)     # (n_doy, C)
+                cnt = (xb > per).astype(jnp.float32).sum(axis=0)
+                return acc.at[b].add(cnt), None
+
+            acc0 = jnp.zeros((nyears, C), dtype=jnp.float32)
+            acc, _ = jax.lax.scan(pair_step, acc0, pair_chunk)
+            return acc
+
+    else:
+
+        @jax.jit
+        def prepare(xx):
+            D = jnp.where((tbl >= 0)[..., None], xx[jnp.maximum(tbl, 0)],
+                          jnp.nan)               # (n_doy, Y, w, C)
+            Xy = xx[dayt]
+            return D, Xy
+
+        @jax.jit
+        def chunk_fn(D, Xy, pair_chunk):
+            def pair_step(acc, bo):
+                b, o = bo[0], bo[1]
+                Dyo = jnp.take(D, o, axis=1)     # (n_doy, w, C)
+                onehot = (jnp.arange(nyears) == b).reshape(1, nyears, 1, 1)
+                Dmod = jnp.where(onehot, Dyo[:, None], D)
+                per = nan_quantile(Dmod.reshape(n_doy, N, C), jnp.array([0.9]),
+                                   axis=1, alpha=1 / 3, beta=1 / 3)[0]
+                xb = jnp.take(Xy, b, axis=0)
+                cnt = (xb > per).astype(jnp.float32).sum(axis=0)
+                return acc.at[b].add(cnt), None
+
+            acc0 = jnp.zeros((nyears, C), dtype=jnp.float32)
+            acc, _ = jax.lax.scan(pair_step, acc0, pair_chunk)
+            return acc
 
     def run(x):
-        D, Xy = prepare(x)
+        state = prepare(x)
         acc = None
         for k in range(nchunks):
-            res = chunk_fn(D, Xy, chunks[k])
+            res = chunk_fn(*state, chunks[k])
             acc = res if acc is None else acc + res
         # padded duplicate pairs are harmless for throughput measurement
         return acc / (nyears - 1)
@@ -154,10 +188,10 @@ def numpy_reference(nyears=30, cells=(2, 2), window=5, sample_years=2):
     return (T * C * sample_years / nyears) / dt
 
 
-def _measure(cells):
+def _measure(cells, kernel):
     import jax
 
-    jitted, gen, cell_days = make_tpu_bench(cells=cells)
+    jitted, gen, cell_days = make_tpu_bench(cells=cells, kernel=kernel)
     key = jax.random.PRNGKey(0)
     x = gen(key)
     x.block_until_ready()
@@ -180,9 +214,10 @@ def main():
 
     value = None
     used = None
-    for cells in [(64, 64), (32, 32), (16, 16)]:
+    for cells, kernel in [((64, 64), "topk"), ((64, 64), "sort"),
+                          ((32, 32), "sort"), ((16, 16), "sort")]:
         try:
-            value = _measure(cells)
+            value = _measure(cells, kernel)
             used = cells
             break
         except Exception:

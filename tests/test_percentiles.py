@@ -2,6 +2,7 @@
 xclim:src/xclim/core/calendar.py:396, core/bootstrapping.py,
 tests/test_bootstrapping.py)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -117,3 +118,50 @@ class TestBootstrap:
         np.testing.assert_allclose(bv[4:], pv[4:])
         # in-base years changed
         assert not np.allclose(bv[:4], pv[:4])
+
+
+class TestTopkBootstrapKernel:
+    """topk_replaced_year_quantile must equal a full re-sort exactly."""
+
+    @pytest.mark.parametrize("q", [0.9, 0.1, 0.75, 0.25])
+    def test_exact_vs_resort(self, q):
+        import bench
+        from xclim_tpu.ops.bootstrap import (
+            topk_capacity,
+            topk_rank_tables,
+            topk_replaced_year_quantile,
+        )
+        from xclim_tpu.ops.quantile import nan_quantile
+
+        nyears, window, C = 10, 5, 4
+        time_idx, table, _, _ = bench._tables(nyears)
+        n_doy = table.shape[0]
+        tbl = jnp.asarray(table.reshape(n_doy, nyears, window))
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(295, 5, (len(time_idx), C))
+                        .astype(np.float32))
+        D = jnp.where((tbl >= 0)[..., None], x[jnp.maximum(tbl, 0)], jnp.nan)
+        N = nyears * window
+        year_id = np.arange(nyears).repeat(window)
+        K = topk_capacity(N, window, q)
+        tabs = topk_rank_tables(D.reshape(n_doy, N, C), year_id, K)
+        Dt = D.transpose(0, 3, 1, 2)
+        for b, o in [(0, 1), (4, 7), (9, 2)]:
+            per = topk_replaced_year_quantile(*tabs, Dt[:, :, b], Dt[:, :, o],
+                                              b, q)
+            onehot = (jnp.arange(nyears) == b).reshape(1, nyears, 1, 1)
+            Dmod = jnp.where(onehot, D[:, o][:, None], D)
+            ref = nan_quantile(Dmod.reshape(n_doy, N, C), jnp.array([q]),
+                               axis=1, alpha=1 / 3, beta=1 / 3)[0]
+            np.testing.assert_array_equal(np.asarray(per), np.asarray(ref))
+
+    def test_bench_kernels_agree(self):
+        import bench
+
+        r1, gen, _ = bench.make_tpu_bench(nyears=6, cells=(2, 2),
+                                          kernel="topk")
+        r2, _, _ = bench.make_tpu_bench(nyears=6, cells=(2, 2), kernel="sort")
+        import jax
+
+        x = gen(jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(np.asarray(r1(x)), np.asarray(r2(x)))

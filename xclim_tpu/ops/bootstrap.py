@@ -23,7 +23,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["sorted_rank_tables", "replaced_year_quantile"]
+__all__ = ["sorted_rank_tables", "replaced_year_quantile",
+           "topk_rank_tables", "topk_replaced_year_quantile", "topk_capacity"]
 
 
 def _count_le_sorted(S, v):
@@ -115,3 +116,85 @@ def replaced_year_quantile(S, R, nvalid, A_b, A_o, q: float,
     out = jnp.where(nmod <= 0, jnp.nan, out)
     out = jnp.where(jnp.isinf(out), jnp.nan, out)
     return out
+
+
+def topk_rank_tables(flat, year_id, k: int):
+    """Precompute top-k/bottom-k candidate tables for the year-replacement
+    bootstrap (lanes-last layout).
+
+    flat: (..., N, C) samples with NaN = missing; year_id: (N,) int year of
+    each sample. Returns (topv, topyear, botv, botyear, nvalid) where
+    topv/botv are the k largest/smallest values per lane in descending/
+    ascending order, shaped (..., C, k), and topyear/botyear the year tag of
+    each. NaNs are excluded (they count in neither side).
+    """
+    neg = jnp.moveaxis(jnp.where(jnp.isnan(flat), -jnp.inf, flat), -2, -1)
+    topv, topi = jax.lax.top_k(neg, k)
+    pos = jnp.moveaxis(jnp.where(jnp.isnan(flat), jnp.inf, flat), -2, -1)
+    botv, boti = jax.lax.top_k(-pos, k)
+    botv = -botv
+    yid = jnp.asarray(year_id)
+    nvalid = jnp.sum(~jnp.isnan(flat), axis=-2).astype(jnp.int32)
+    return topv, yid[topi], botv, yid[boti], nvalid
+
+
+def topk_replaced_year_quantile(topv, topyear, botv, botyear, nvalid,
+                                A_b, A_o, b, q: float,
+                                alpha: float = 1 / 3, beta: float = 1 / 3):
+    """Quantile of the year-b-replaced multiset from top-k candidate tables.
+
+    The needed order statistics of the modified multiset sit within
+    ``(1-q)·n + 2`` ranks of the extreme for q ≥ 0.5 (resp. ``q·n + 2`` for
+    q < 0.5); since replacing one year removes at most `w` samples, the
+    modified top-J is always contained in (base top-k minus year b) ∪ A_o
+    when ``k ≥ J + w``. This turns the reference's per-pair full re-sort
+    (xclim:core/bootstrapping.py:195-201) into one k-of-(k+w) top_k —
+    top_k is a fused, TPU-friendly primitive, unlike rank gathers.
+
+    topv/topyear/botv/botyear/nvalid from :func:`topk_rank_tables`;
+    A_b, A_o: (..., C, w) removed/added samples (lanes-last); b: removed
+    year index (traced scalar ok). Hyndman-Fan alpha/beta semantics matching
+    :func:`xclim_tpu.ops.quantile.nan_quantile`.
+    """
+    k = topv.shape[-1]
+    w = A_o.shape[-1]
+    jtop = k - w
+    vb = jnp.sum(~jnp.isnan(A_b), axis=-1).astype(jnp.int32)
+    vo = jnp.sum(~jnp.isnan(A_o), axis=-1).astype(jnp.int32)
+    nmod_i = nvalid - vb + vo
+    nmod = nmod_i.astype(jnp.float32)
+
+    h = nmod * q + (q * (1 - alpha - beta) + alpha) - 1.0
+    h = jnp.clip(h, 0.0, jnp.maximum(nmod - 1.0, 0.0))
+    k0 = jnp.floor(h).astype(jnp.int32)
+    gam = h - k0.astype(jnp.float32)
+    k1 = jnp.minimum(k0 + 1, jnp.maximum(nmod_i - 1, 0))
+
+    if q >= 0.5:
+        cand = jnp.where(topyear == b, -jnp.inf, topv)
+        ao = jnp.where(jnp.isnan(A_o), -jnp.inf, A_o)
+        tops = jax.lax.top_k(jnp.concatenate([cand, ao], axis=-1), jtop)[0]
+        j0 = jnp.clip(nmod_i - 1 - k0, 0, jtop - 1)
+        j1 = jnp.clip(nmod_i - 1 - k1, 0, jtop - 1)
+    else:
+        cand = jnp.where(botyear == b, jnp.inf, botv)
+        ao = jnp.where(jnp.isnan(A_o), jnp.inf, A_o)
+        tops = -jax.lax.top_k(-jnp.concatenate([cand, ao], axis=-1), jtop)[0]
+        j0 = jnp.clip(k0, 0, jtop - 1)
+        j1 = jnp.clip(k1, 0, jtop - 1)
+    v0 = jnp.take_along_axis(tops, j0[..., None], axis=-1)[..., 0]
+    v1 = jnp.take_along_axis(tops, j1[..., None], axis=-1)[..., 0]
+    out = v0 + gam * (v1 - v0)
+    out = jnp.where(nmod_i <= 0, jnp.nan, out)
+    return jnp.where(jnp.isinf(out), jnp.nan, out)
+
+
+def topk_capacity(nmax: int, w: int, q: float) -> int:
+    """Candidate-table size k guaranteeing exactness of
+    :func:`topk_replaced_year_quantile` for samples of at most `nmax` valid
+    values, `w`-sample replacements and quantile `q`."""
+    import math
+
+    tail = (1 - q) if q >= 0.5 else q
+    j = int(math.ceil(tail * nmax)) + 2
+    return j + w
