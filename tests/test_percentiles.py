@@ -165,3 +165,32 @@ class TestTopkBootstrapKernel:
 
         x = gen(jax.random.PRNGKey(0))
         np.testing.assert_array_equal(np.asarray(r1(x)), np.asarray(r2(x)))
+
+
+class TestBootstrapTopkPath:
+    """The tail-percentile top-k path in bootstrap_func must be bit-identical
+    to the dense re-sort path, end-to-end through the index call."""
+
+    @pytest.mark.parametrize("index,var,perv", [("tx90p", "tasmax", 90.0),
+                                                ("tn10p", "tasmin", 10.0)])
+    def test_paths_identical(self, index, var, perv):
+        import xclim_tpu.core.bootstrapping as B
+        from xclim_tpu.core.percentiles import percentile_doy
+        from xclim_tpu import indices
+        from xclim_tpu.testing import test_timeseries as ts
+
+        rng = np.random.default_rng(1)
+        da = ts(rng.normal(300, 5, 365 * 6).astype(np.float32), var,
+                start="2001-01-01", units="K")
+        per = percentile_doy(da.sel_time(mask=(da.time.year <= 2004)),
+                             per=perv)
+        fn = getattr(indices, index)
+        kw = {var: da, f"{var}_per": per, "freq": "YS", "bootstrap": True}
+        assert B.USE_TOPK_KERNEL
+        r_topk = np.asarray(fn(**kw).data)
+        B.USE_TOPK_KERNEL = False
+        try:
+            r_dense = np.asarray(fn(**kw).data)
+        finally:
+            B.USE_TOPK_KERNEL = True
+        np.testing.assert_array_equal(r_topk, r_dense)
