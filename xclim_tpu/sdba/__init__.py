@@ -9,6 +9,6 @@ from xclim_tpu.sdba.adjustment import (  # noqa: F401
     QuantileDeltaMapping,
     Scaling,
 )
-from xclim_tpu.sdba import measures, properties  # noqa: F401
+from xclim_tpu.sdba import measures, processing, properties  # noqa: F401
 from xclim_tpu.sdba.grouping import Grouper  # noqa: F401
 from xclim_tpu.sdba.utils import equally_spaced_nodes  # noqa: F401
