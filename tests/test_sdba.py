@@ -182,3 +182,56 @@ class TestLOCI:
         sv = np.asarray(adj.adjust(mk(hist_v)).data)
         np.testing.assert_allclose(sv[sv >= 1].mean(),
                                    ref_v[ref_v >= 1].mean(), rtol=0.05)
+
+
+class TestExtremeValues:
+    def test_tail_correction(self):
+        from xclim_tpu.sdba import ExtremeValues
+        from xclim_tpu.sdba.processing import jitter_under_thresh
+
+        rng = np.random.default_rng(0)
+        n = 3650 * 2
+        t = date_range("1990-01-01", periods=n, freq="D", calendar="noleap")
+
+        def mk(v):
+            return ClimArray(jnp.asarray(np.asarray(v, np.float32)),
+                             ("time",), {"time": t}, {"units": "mm/d"}, "pr")
+
+        ref_v = np.where(rng.random(n) < 0.6, 0, rng.gamma(2, 6, n))
+        hist_v = np.where(rng.random(n) < 0.6, 0, rng.gamma(2, 3, n))
+        ref = jitter_under_thresh(mk(ref_v), "0.01 mm/d")
+        hist = jitter_under_thresh(mk(hist_v), "0.01 mm/d")
+        sim = jitter_under_thresh(mk(hist_v), "0.01 mm/d")
+        ev = ExtremeValues.train(ref, hist, cluster_thresh="1 mm/d",
+                                 q_thresh=0.95)
+        scen2 = ev.adjust(sim, sim, frac=0.25, power=1.0)
+        s2 = np.asarray(scen2.data)
+        # values below hist's POT level untouched
+        th_h = float(np.asarray(ev.ds["thresh_hist"]))
+        bulk = np.asarray(sim.data) < th_h
+        np.testing.assert_allclose(s2[bulk], np.asarray(sim.data)[bulk])
+        # the extreme tail is pulled toward ref's scale
+        assert np.quantile(s2, 0.9995) > np.quantile(hist_v, 0.9995) * 1.3
+        assert np.isfinite(s2).all()
+
+    def test_scen_blend(self):
+        from xclim_tpu.sdba import ExtremeValues
+
+        rng = np.random.default_rng(1)
+        n = 3650
+        t = date_range("1990-01-01", periods=n, freq="D", calendar="noleap")
+
+        def mk(v):
+            return ClimArray(jnp.asarray(np.asarray(v, np.float32)),
+                             ("time",), {"time": t}, {"units": "mm/d"}, "pr")
+
+        ref = mk(rng.gamma(2, 6, n))
+        hist = mk(rng.gamma(2, 3, n))
+        sim = mk(np.asarray(hist.data))
+        scen = mk(np.asarray(hist.data) * 2.0)  # a first-pass adjustment
+        ev = ExtremeValues.train(ref, hist, cluster_thresh="0.5 mm/d")
+        out = np.asarray(ev.adjust(scen, sim).data)
+        th_h = float(np.asarray(ev.ds["thresh_hist"]))
+        bulk = np.asarray(sim.data) < th_h
+        # below the POT level the first-pass scen passes through unchanged
+        np.testing.assert_allclose(out[bulk], np.asarray(scen.data)[bulk])

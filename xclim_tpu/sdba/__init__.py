@@ -4,6 +4,7 @@ xclim:src/xclim/sdba.py)."""
 
 from xclim_tpu.sdba.adjustment import (  # noqa: F401
     LOCI,
+    ExtremeValues,
     DetrendedQuantileMapping,
     EmpiricalQuantileMapping,
     QuantileDeltaMapping,
