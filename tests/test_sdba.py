@@ -235,3 +235,37 @@ class TestExtremeValues:
         bulk = np.asarray(sim.data) < th_h
         # below the POT level the first-pass scen passes through unchanged
         np.testing.assert_allclose(out[bulk], np.asarray(scen.data)[bulk])
+
+
+class TestNpdfTransform:
+    def test_restores_correlation(self):
+        from xclim_tpu.sdba import npdf_transform
+
+        rng = np.random.default_rng(0)
+        n = 1500
+        t = date_range("1990-01-01", periods=n, freq="D", calendar="noleap")
+        L = np.linalg.cholesky([[1, 0.8], [0.8, 1]])
+        refm = (L @ rng.normal(0, 1, (2, n))).astype(np.float32)
+        histm = rng.normal(0.5, 1.3, (2, n)).astype(np.float32)
+
+        def mk(m, nm):
+            return ClimArray(jnp.asarray(m), ("multivar", "time"),
+                             {"time": t, "multivar": np.array(["a", "b"])},
+                             {"units": ""}, nm)
+
+        hist_adj, sim_adj, esc = npdf_transform(
+            mk(refm, "ref"), mk(histm, "hist"), mk(histm, "sim"),
+            n_iter=12, return_escores=True)
+        ha = np.asarray(hist_adj.data)
+        # cross-variable correlation restored to ref's
+        np.testing.assert_allclose(np.corrcoef(ha)[0, 1],
+                                   np.corrcoef(refm)[0, 1], atol=0.05)
+        # moments match ref
+        np.testing.assert_allclose(ha.mean(1), refm.mean(1), atol=0.1)
+        np.testing.assert_allclose(ha.std(1), refm.std(1), atol=0.1)
+        # energy score decreases
+        assert esc[-1] < esc[0] * 0.7
+        # sim adjusted through the same rotations
+        sa = np.asarray(sim_adj.data)
+        np.testing.assert_allclose(np.corrcoef(sa)[0, 1],
+                                   np.corrcoef(refm)[0, 1], atol=0.05)

@@ -9,6 +9,7 @@ from xclim_tpu.sdba.adjustment import (  # noqa: F401
     EmpiricalQuantileMapping,
     QuantileDeltaMapping,
     Scaling,
+    npdf_transform,
 )
 from xclim_tpu.sdba import measures, processing, properties  # noqa: F401
 from xclim_tpu.sdba.grouping import Grouper  # noqa: F401

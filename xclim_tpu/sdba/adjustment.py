@@ -33,7 +33,8 @@ def _spacify(*arrays):
     return out, squeeze
 
 __all__ = ["EmpiricalQuantileMapping", "DetrendedQuantileMapping",
-           "QuantileDeltaMapping", "Scaling", "LOCI", "ExtremeValues"]
+           "QuantileDeltaMapping", "Scaling", "LOCI", "ExtremeValues",
+           "npdf_transform", "random_rotation_matrices"]
 
 
 def _apply_kind(x, factor, kind):
@@ -445,3 +446,90 @@ class ExtremeValues(TrainAdjust):
                      f"power={power}).")
         out.attrs["history"] = hist_line
         return out
+
+
+# ---------------------------------------------------------------------------
+# N-dimensional pdf transfer (MBCn core; Cannon 2018)
+# ---------------------------------------------------------------------------
+
+
+def random_rotation_matrices(key, n_iter: int, nvar: int):
+    """Uniform random orthogonal matrices via QR of gaussians
+    (xsdba utils.rand_rot_matrix)."""
+    import jax
+
+    def one(k):
+        a = jax.random.normal(k, (nvar, nvar))
+        qm, r = jnp.linalg.qr(a)
+        # sign-correct for a proper Haar draw
+        return qm * jnp.sign(jnp.diag(r))[None, :]
+
+    keys = jax.random.split(key, n_iter)
+    return jnp.stack([one(k) for k in keys])
+
+
+def npdf_transform(ref: ClimArray, hist: ClimArray, sim: ClimArray = None,
+                   *, n_iter: int = 20, nquantiles: int = 50, key=None,
+                   base=None, return_escores: bool = False):
+    """N-dimensional pdf transfer: iterative random rotations + 1-D quantile
+    mapping (the core of MBCn, Cannon 2018; xsdba.NpdfTransform).
+
+    ref, hist, sim: stacked ``(multivar, time)`` ClimArrays (see
+    :func:`xclim_tpu.sdba.processing.stack_variables`); inputs should be
+    standardized (the algorithm works in an additive space). Each iteration
+    draws an orthogonal rotation, quantile-maps every rotated coordinate of
+    hist (and sim) onto rotated ref with the `base` method (default QDM,
+    additive), and rotates back. Returns (hist_adj, sim_adj[, escores]).
+
+    Downstream, the usual MBCn recipe reorders a univariately-adjusted scen
+    by the ranks of sim_adj (:func:`xclim_tpu.sdba.processing.reordering`).
+    """
+    import jax
+
+    from xclim_tpu.sdba.processing import escore as _escore
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if base is None:
+        base = QuantileDeltaMapping
+    nvar = ref.shape[0]
+    rots = random_rotation_matrices(key, n_iter, nvar)
+
+    rdat = ref.data
+    hdat = hist.data
+    sdat = sim.data if sim is not None else None
+    escores = []
+
+    def _series(mat_row, time):
+        return ClimArray(mat_row, ("time",), {"time": time}, {"units": ""},
+                         "v")
+
+    for i in range(n_iter):
+        R = rots[i]
+        r_r = R @ rdat
+        h_r = R @ hdat
+        s_r = R @ sdat if sdat is not None else None
+        h_new = []
+        s_new = []
+        for v in range(nvar):
+            adj = base.train(_series(r_r[v], ref.time),
+                             _series(h_r[v], hist.time),
+                             group="time", nquantiles=nquantiles, kind="+")
+            h_new.append(adj.adjust(_series(h_r[v], hist.time)).data)
+            if s_r is not None:
+                s_new.append(adj.adjust(_series(s_r[v], sim.time)).data)
+        hdat = R.T @ jnp.stack(h_new)
+        if sdat is not None:
+            sdat = R.T @ jnp.stack(s_new)
+        if return_escores:
+            escores.append(_escore(ref, hist.copy(data=hdat), N=500))
+
+    hist_adj = hist.copy(data=hdat)
+    hist_adj.attrs = dict(hist.attrs)
+    sim_adj = None
+    if sim is not None:
+        sim_adj = sim.copy(data=sdat)
+        sim_adj.attrs = dict(sim.attrs)
+    if return_escores:
+        return hist_adj, sim_adj, escores
+    return hist_adj, sim_adj
