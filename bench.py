@@ -239,5 +239,168 @@ def main():
     }))
 
 
+
+
+# ---------------------------------------------------------------------------
+# Full BASELINE.md config sweep: `python bench.py --all`
+# (the driver's default invocation still prints exactly one JSON line above)
+# ---------------------------------------------------------------------------
+
+
+def _time_climarray(fn, *args, reps=1, **kwargs):
+    """Warm (compile) + timed call of a ClimArray-level function."""
+    r = fn(*args, **kwargs)
+    for o in (r if isinstance(r, (tuple, list)) else [r]):
+        np.asarray(o.data if hasattr(o, "data") else o)[..., :1]
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = fn(*args, **kwargs)
+        for o in (r if isinstance(r, (tuple, list)) else [r]):
+            np.asarray(o.data if hasattr(o, "data") else o)[..., :1]
+    return (time.perf_counter() - t0) / reps
+
+
+def bench_all():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    from xclim_tpu import climjit, indices
+    from xclim_tpu.core.calendar import date_range
+    from xclim_tpu.core.dataarray import ClimArray
+
+    results = []
+
+    def mk(key, shape, mean, std, units, name, t):
+        v = jax.random.normal(jax.random.PRNGKey(key), shape) * std + mean
+        dims = ("time", "lat", "lon")[: len(shape)]
+        coords = {"time": t}
+        if len(shape) > 1:
+            coords["lat"] = np.arange(shape[1])
+        if len(shape) > 2:
+            coords["lon"] = np.arange(shape[2])
+        return ClimArray(v, dims, coords, {"units": units}, name)
+
+    # 1. tg_mean monthly, 10y daily 64x64
+    try:
+        t = date_range("2000-01-01", periods=3650, freq="D", calendar="noleap")
+        tas = mk(0, (3650, 64, 64), 285.0, 5.0, "K", "tas", t)
+        f = climjit(indices.tg_mean)
+        dt = _time_climarray(f, tas, freq="MS")
+        results.append({"config": "tg_mean monthly 64x64 10y",
+                        "value": round(3650 * 64 * 64 / dt, 1),
+                        "unit": "cell-days/s"})
+    except Exception as e:
+        results.append({"config": "tg_mean", "error": str(e)[:120]})
+
+    # 2. spell kernels on 100x100 daily 10y
+    try:
+        t = date_range("2000-01-01", periods=3650, freq="D", calendar="noleap")
+        tx = mk(1, (3650, 100, 100), 290.0, 8.0, "K", "tasmax", t)
+        tn = mk(2, (3650, 100, 100), 280.0, 8.0, "K", "tasmin", t)
+        f1 = climjit(indices.tx_days_above)
+        f2 = climjit(indices.heat_wave_frequency)
+        dt1 = _time_climarray(f1, tx, thresh="25 degC", freq="YS")
+        dt2 = _time_climarray(f2, tn, tx, thresh_tasmin="22 degC",
+                              thresh_tasmax="30 degC", freq="YS")
+        cells = 3650 * 100 * 100
+        results.append({"config": "tx_days_above + heat_wave_frequency 100x100 10y",
+                        "value": round((cells / dt1 + cells / dt2) / 2, 1),
+                        "unit": "cell-days/s (mean of both)"})
+    except Exception as e:
+        results.append({"config": "spells", "error": str(e)[:120]})
+
+    # 3. tx90p full bootstrap — the north-star (top-k kernel)
+    try:
+        jitted, gen, cell_days = make_tpu_bench(cells=(64, 64), kernel="topk")
+        x = gen(jax.random.PRNGKey(0))
+        x.block_until_ready()
+        r = jitted(x)
+        float(np.asarray(r[0, 0]))
+        t0 = time.perf_counter()
+        r = jitted(x)
+        float(np.asarray(r[0, 0]))
+        results.append({"config": "tx90p full 30y bootstrap 4096 cells",
+                        "value": round(cell_days / (time.perf_counter() - t0), 1),
+                        "unit": "cell-days/s"})
+    except Exception as e:
+        results.append({"config": "tx90p bootstrap", "error": str(e)[:120]})
+
+    # 4. QDM train+adjust, dayofyear window=31, 50 quantiles, 32x32 30y
+    try:
+        from xclim_tpu.sdba import Grouper, QuantileDeltaMapping
+
+        t30 = date_range("1981-01-01", periods=30 * 365, freq="D",
+                         calendar="noleap")
+        ref = mk(3, (30 * 365, 32, 32), 285.0, 5.0, "K", "ref", t30)
+        hist = mk(4, (30 * 365, 32, 32), 287.0, 6.0, "K", "hist", t30)
+
+        def qdm_once():
+            adj = QuantileDeltaMapping.train(
+                ref, hist, group=Grouper("time.dayofyear", 31),
+                nquantiles=50, kind="+")
+            return adj.adjust(hist)
+
+        out = qdm_once()
+        np.asarray(out.data)[..., :1]
+        t0 = time.perf_counter()
+        out = qdm_once()
+        np.asarray(out.data)[..., :1]
+        dt = time.perf_counter() - t0
+        results.append({"config": "QDM train+adjust doy w31 nq50 1024 cells 30y",
+                        "value": round(30 * 365 * 32 * 32 / dt, 1),
+                        "unit": "cell-days/s"})
+    except Exception as e:
+        results.append({"config": "QDM", "error": str(e)[:160]})
+
+    # 5. ensembles: 30-member percentiles + robustness 64x64
+    try:
+        from xclim_tpu.ensembles import ensemble_percentiles, robustness_fractions
+
+        t1 = date_range("2000-01-01", periods=365, freq="D",
+                        calendar="noleap")
+        members = [mk(10 + i, (365, 64, 64), 285.0, 5.0, "K", "tas", t1)
+                   for i in range(30)]
+        from xclim_tpu.core.dataarray import concat
+
+        ens = concat(members, dim="realization")
+
+        def ens_once():
+            p = ensemble_percentiles(ens, values=[10, 50, 90])
+            fut = ens.isel(time=slice(183, 365))
+            hist_ = ens.isel(time=slice(0, 182))
+            rf = robustness_fractions(fut, hist_, test="ttest")
+            return p, rf["changed"]
+
+        def sync(p, c):
+            np.asarray(next(iter(p.values())).data)[..., :1]
+            np.asarray(c.data)[..., :1]
+
+        p, c = ens_once()
+        sync(p, c)
+        t0 = time.perf_counter()
+        p, c = ens_once()
+        sync(p, c)
+        dt = time.perf_counter() - t0
+        results.append({"config": "ensemble percentiles+robustness 30 members 64x64",
+                        "value": round(30 * 365 * 64 * 64 / dt, 1),
+                        "unit": "member-cell-days/s"})
+    except Exception as e:
+        results.append({"config": "ensembles", "error": str(e)[:160]})
+
+    for r in results:
+        print(json.dumps(r))
+    with open("BENCH_DETAIL.json", "w") as f:
+        json.dump(results, f, indent=2)
+    return results
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--all" in sys.argv:
+        bench_all()
+    else:
+        main()

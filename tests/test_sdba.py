@@ -269,3 +269,42 @@ class TestNpdfTransform:
         sa = np.asarray(sim_adj.data)
         np.testing.assert_allclose(np.corrcoef(sa)[0, 1],
                                    np.corrcoef(refm)[0, 1], atol=0.05)
+
+
+class TestMultiDimSpace:
+    """Adjustments on (time, lat, lon) grids must equal per-cell 1-D runs."""
+
+    @pytest.mark.parametrize("method", ["EmpiricalQuantileMapping",
+                                        "QuantileDeltaMapping"])
+    def test_grid_equals_single_cell(self, method):
+        import jax
+
+        import xclim_tpu.sdba as sdba
+
+        t = date_range("1981-01-01", periods=3 * 365, freq="D",
+                       calendar="noleap")
+
+        def mk(k, nm, data=None):
+            v = data if data is not None else \
+                jax.random.normal(jax.random.PRNGKey(k), (3 * 365, 2, 3)) * 5 + 285
+            dims = ("time", "lat", "lon")[: v.ndim]
+            coords = {"time": t}
+            if v.ndim > 1:
+                coords["lat"] = np.arange(v.shape[1])
+                coords["lon"] = np.arange(v.shape[2])
+            return ClimArray(v, dims, coords, {"units": "K"}, nm)
+
+        M = getattr(sdba, method)
+        ref, hist = mk(0, "ref"), mk(1, "hist")
+        adj = M.train(ref, hist, group=sdba.Grouper("time.month"),
+                      nquantiles=15, kind="+")
+        out = adj.adjust(hist)
+        assert out.shape == (3 * 365, 2, 3)
+        r1 = ClimArray(ref.data[:, 1, 2], ("time",), {"time": t},
+                       {"units": "K"}, "ref")
+        h1 = ClimArray(hist.data[:, 1, 2], ("time",), {"time": t},
+                       {"units": "K"}, "hist")
+        o1 = M.train(r1, h1, group=sdba.Grouper("time.month"),
+                     nquantiles=15, kind="+").adjust(h1)
+        np.testing.assert_array_equal(np.asarray(o1.data),
+                                      np.asarray(out.data)[:, 1, 2])

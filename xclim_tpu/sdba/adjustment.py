@@ -25,12 +25,15 @@ from xclim_tpu.sdba.utils import (
 
 
 def _spacify(*arrays):
-    """Ensure a trailing space axis (1-D series → (..., 1))."""
-    out = []
-    squeeze = arrays[0].ndim == 2
-    for a in arrays:
-        out.append(a[..., None] if a.ndim == 2 else a)
-    return out, squeeze
+    """Flatten all trailing space dims into one lane axis.
+
+    (G, K, *S) → (G, K, prod(S)); 1-D series (G, K) → (G, K, 1). Returns the
+    original space shape so callers can reshape back with
+    ``a.reshape(a.shape[:2] + sshape)``."""
+    sshape = arrays[0].shape[2:]
+    out = [a.reshape(a.shape[:2] + (-1,)) if a.ndim > 2 else a[..., None]
+           for a in arrays]
+    return out, sshape
 
 __all__ = ["EmpiricalQuantileMapping", "DetrendedQuantileMapping",
            "QuantileDeltaMapping", "Scaling", "LOCI", "ExtremeValues",
@@ -108,12 +111,11 @@ class EmpiricalQuantileMapping(TrainAdjust):
         g = jnp.where((t >= 0).reshape(okshape), g, jnp.nan)
         hist_q = self.ds["hist_q"]  # (G, nq, ...)
         af = self.ds["af"]
-        (g, hist_q, af), squeeze = _spacify(g, hist_q, af)
+        (g, hist_q, af), sshape = _spacify(g, hist_q, af)
         af_v = interp_on_quantiles(g, hist_q, af, method=interp,
-                                   extrapolation=extrapolation)  # (G, ms, ...)
+                                   extrapolation=extrapolation)  # (G, ms, C)
         adj = _apply_kind(g, af_v, self.kind)
-        if squeeze:
-            adj = adj[..., 0]
+        adj = adj.reshape(adj.shape[:2] + sshape)
         flat = adj.reshape((-1,) + adj.shape[2:])
         out = flat[jnp.asarray(flat_pos)]
         out = jnp.moveaxis(out, 0, ax)
@@ -192,16 +194,15 @@ class QuantileDeltaMapping(TrainAdjust):
         okshape = t.shape + (1,) * (g.ndim - 2)
         g = jnp.where((t >= 0).reshape(okshape), g, jnp.nan)  # (G, ms, ...)
         af = self.ds["af"]  # (G, nq, ...)
-        (g, af), squeeze = _spacify(g, af)
+        (g, af), sshape = _spacify(g, af)
         nvalid = jnp.sum(~jnp.isnan(g), axis=1).astype(jnp.int32)
-        tau = grouped_rank(g, nvalid)  # (G, ms, ...)
+        tau = grouped_rank(g, nvalid)  # (G, ms, C)
         q = jnp.asarray(self.ds["quantiles"], dtype=jnp.float32)
         qx = jnp.broadcast_to(q.reshape((1, -1) + (1,) * (af.ndim - 2)), af.shape)
         af_v = interp_on_quantiles(tau, qx, af, method=interp,
                                    extrapolation=extrapolation)
         adj = _apply_kind(g, af_v, self.kind)
-        if squeeze:
-            adj = adj[..., 0]
+        adj = adj.reshape(adj.shape[:2] + sshape)
         flat = adj.reshape((-1,) + adj.shape[2:])
         out = jnp.moveaxis(flat[jnp.asarray(flat_pos)], 0, ax)
         return sim.copy(data=out)
