@@ -69,12 +69,16 @@ def _lat_of(da: ClimArray, lat):
 
 
 def _k_shape(k, da: ClimArray):
-    """Broadcast a (lat,)-shaped host coefficient onto da's dims."""
+    """Broadcast a latitude-shaped host coefficient onto da's dims.
+
+    Accepts scalar, (lat,) vectors and (lat, lon) grids."""
     k = np.asarray(k, dtype=np.float32)
     if k.ndim == 0 or "lat" not in da.dims:
         return jnp.asarray(k).reshape((1,) * da.ndim) if k.ndim == 0 else jnp.asarray(k)
     shape = [1] * da.ndim
-    shape[da.dims.index("lat")] = len(k)
+    shape[da.dims.index("lat")] = k.shape[0]
+    if k.ndim >= 2 and "lon" in da.dims:
+        shape[da.dims.index("lon")] = k.shape[1]
     return jnp.asarray(k).reshape(shape)
 
 

@@ -71,17 +71,22 @@ DAY_LENGTH_FACTORS = np.array([
 
 
 def _day_length_series(months: np.ndarray, lat: np.ndarray) -> np.ndarray:
-    """(T, n_lat) effective day lengths from the banded table."""
+    """(T, *lat_shape) effective day lengths from the banded table;
+    lat may be scalar, 1-D or an N-D grid."""
     lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
+    flat = lat.reshape(-1)
     band = np.select(
-        [lat < -30, lat < -15, lat < 15, lat < 30], [0, 1, 2, 3], default=4)
-    return DAY_LENGTHS[band][:, months - 1].T  # (T, n_lat)
+        [flat < -30, flat < -15, flat < 15, flat < 30], [0, 1, 2, 3], default=4)
+    out = DAY_LENGTHS[band][:, months - 1].T  # (T, L)
+    return out.reshape((len(months),) + lat.shape)
 
 
 def _day_length_factor_series(months: np.ndarray, lat: np.ndarray) -> np.ndarray:
     lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
-    band = np.select([lat < -15, lat < 15], [0, 1], default=2)
-    return DAY_LENGTH_FACTORS[band][:, months - 1].T
+    flat = lat.reshape(-1)
+    band = np.select([flat < -15, flat < 15], [0, 1], default=2)
+    out = DAY_LENGTH_FACTORS[band][:, months - 1].T
+    return out.reshape((len(months),) + lat.shape)
 
 
 # ---------------------------------------------------------------------------

@@ -66,6 +66,33 @@ def _sunset_hour_angle(decl: np.ndarray, lat_rad: np.ndarray) -> np.ndarray:
     return np.arccos(np.clip(x, -1.0, 1.0))
 
 
+def _lat_flat(lat):
+    """Normalize a latitude input (scalar / 1-D / N-D array / ClimArray) to
+    (flat_values, space_dims, space_coords, space_shape, was_scalar)."""
+    if isinstance(lat, ClimArray):
+        v = np.asarray(lat.values, dtype=np.float64)
+        return v.reshape(-1), lat.dims, dict(lat.coords), v.shape, False
+    v = np.asarray(getattr(lat, "values", lat), dtype=np.float64)
+    if v.ndim <= 1:
+        v1 = np.atleast_1d(v)
+        return v1, ("lat",), {"lat": v1}, v1.shape, v.ndim == 0
+    dims = ("lat", "lon") if v.ndim == 2 else \
+        tuple(f"dim_{i}" for i in range(v.ndim))
+    return v.reshape(-1), dims, {}, v.shape, False
+
+
+def _wrap_solar(data_tl, time, lat, units, name):
+    """(T, L) host result → ClimArray ('time', *lat_dims); scalar lat squeezed."""
+    _, dims, coords, shape, scalar = _lat_flat(lat)
+    out_data = data_tl.reshape((data_tl.shape[0],) + shape)
+    cc = {"time": time, **coords}
+    arr = ClimArray(jnp.asarray(out_data.astype(np.float32)),
+                    ("time",) + dims, cc, {"units": units}, name)
+    if scalar:
+        arr = arr.isel(**{dims[0]: 0})
+    return arr
+
+
 def cosine_of_solar_zenith_angle(time, lat, lon=None, stat: str = "average",
                                  sunlit: bool = False) -> ClimArray:
     """Daily statistic of cos(zenith) (xclim:indices/helpers.py:241).
@@ -73,7 +100,7 @@ def cosine_of_solar_zenith_angle(time, lat, lon=None, stat: str = "average",
     stat='average': 24h average; sunlit=True restricts to daylight hours
     (both via the analytic integral of cos Z over the hour angle).
     """
-    latv = np.atleast_1d(np.asarray(lat, dtype=np.float64))
+    latv = _lat_flat(lat)[0]
     phi = np.deg2rad(latv)
     decl = solar_declination(time)
     d = decl[:, None]
@@ -86,9 +113,7 @@ def cosine_of_solar_zenith_angle(time, lat, lon=None, stat: str = "average",
         czda = np.where(denom > 0, integ / np.where(denom == 0, 1, denom), 0.0)
     else:
         czda = integ / (2 * np.pi)
-    out = ClimArray(jnp.asarray(czda.astype(np.float32)), ("time", "lat"),
-                    {"time": time, "lat": latv}, {"units": ""}, "csza")
-    return out
+    return _wrap_solar(czda, time, lat, "", "csza")
 
 
 @declare_units(solar_constant="[radiation]")
@@ -98,32 +123,24 @@ def extraterrestrial_solar_radiation(time, lat, solar_constant: str = "1361 W m-
     """Daily mean top-of-atmosphere radiation [W m-2] (FAO-56 closed form;
     xclim:indices/helpers.py:400)."""
     gsc = convert_units_to(str2pint(solar_constant), "W m-2")
-    latv = np.atleast_1d(np.asarray(getattr(lat, "values", lat), dtype=np.float64))
+    latv = _lat_flat(lat)[0]
     phi = np.deg2rad(latv)
     decl = solar_declination(time, method)[:, None]
     dr = eccentricity_correction_factor(time, method)[:, None]
     ws = np.arccos(np.clip(-np.tan(phi)[None, :] * np.tan(decl), -1.0, 1.0))
     ra = (gsc / np.pi) * dr * (ws * np.sin(phi)[None, :] * np.sin(decl)
                                + np.cos(phi)[None, :] * np.cos(decl) * np.sin(ws))
-    out = ClimArray(jnp.asarray(ra.astype(np.float32)), ("time", "lat"),
-                    {"time": time, "lat": latv}, {"units": "W m-2"}, "ra")
-    if np.ndim(lat) == 0:
-        out = out.isel(lat=0)
-    return out
+    return _wrap_solar(ra, time, lat, "W m-2", "ra")
 
 
 def day_lengths(time, lat, method: str = "spencer") -> ClimArray:
     """Daylength in hours (xclim:indices/helpers.py:450)."""
-    latv = np.atleast_1d(np.asarray(getattr(lat, "values", lat), dtype=np.float64))
+    latv = _lat_flat(lat)[0]
     phi = np.deg2rad(latv)
     decl = solar_declination(time, method)[:, None]
     ws = np.arccos(np.clip(-np.tan(phi)[None, :] * np.tan(decl), -1.0, 1.0))
     dl = 24 / np.pi * ws
-    out = ClimArray(jnp.asarray(dl.astype(np.float32)), ("time", "lat"),
-                    {"time": time, "lat": latv}, {"units": "h"}, "day_length")
-    if np.ndim(lat) == 0:
-        out = out.isel(lat=0)
-    return out
+    return _wrap_solar(dl, time, lat, "h", "day_length")
 
 
 @declare_units(da="[speed]")
@@ -199,15 +216,11 @@ def gladstones_day_length_latitude_coefficient(time, lat,
                                                neutral_latitude: float = 40.0):
     """Gladstones k: day length relative to the 40° reference latitude
     (xclim:indices/helpers.py:623)."""
-    latv = np.atleast_1d(np.asarray(getattr(lat, "values", lat), dtype=np.float64))
+    latv = _lat_flat(lat)[0]
     dl = day_lengths(time, latv)
     pivot_n = day_lengths(time, np.array([abs(neutral_latitude)]))
     pivot_s = day_lengths(time, np.array([-abs(neutral_latitude)]))
     k = np.where(latv[None, :] >= 0,
                  np.asarray(dl.values) / np.asarray(pivot_n.values),
                  np.asarray(dl.values) / np.asarray(pivot_s.values))
-    out = ClimArray(jnp.asarray(k.astype(np.float32)), ("time", "lat"),
-                    {"time": time, "lat": latv}, {"units": ""}, "k")
-    if np.ndim(lat) == 0:
-        out = out.isel(lat=0)
-    return out
+    return _wrap_solar(k, time, lat, "", "k")
