@@ -182,6 +182,11 @@ class Indicator:
         if "compute" not in kwds and getattr(self, "compute", None) is None:
             raise AttributeError("An indicator needs a `compute` function.")
         compute = kwds.pop("compute", getattr(self, "compute", None))
+        input_map = kwds.pop("input", None)
+        if input_map:
+            # rename compute variables (official name → compute arg), like the
+            # YAML factory's input: mapping (xclim:core/indicator.py:465-547)
+            compute = _wrap_input_map(compute, input_map)
         self.compute = compute
 
         # flat cf attrs → single-output cf_attrs list
@@ -315,12 +320,14 @@ class Indicator:
 
     def _cfcheck(self, **das):
         for name, da in das.items():
+            if not hasattr(da, "attrs"):
+                continue  # scalar stand-in for a variable (e.g. lat=45.0)
             cfcheck_from_name(name, da)
 
     def _datacheck(self, **das):
         if self.src_freq is not None:
             for da in das.values():
-                if da.time is not None:
+                if getattr(da, "time", None) is not None:
                     check_freq(da, self.src_freq, strict=True)
 
     def _convert_units(self, out: ClimArray, attrs: dict) -> ClimArray:
@@ -452,7 +459,7 @@ class CheckMissingIndicator(Indicator):
         # mask from the union of all input variables (xclim:core/indicator.py:1530)
         masks = []
         for da in das.values():
-            if da.time is None:
+            if getattr(da, "time", None) is None:
                 continue
             m = cls(**options)(da, freq, **indexer)
             masks.append(m)

@@ -241,7 +241,19 @@ def parse_units(s) -> Units:
     last_dims = None
     for gi, grp in enumerate(groups):
         sign = 1 if gi == 0 else -1
-        grp = grp.replace("·", " ").replace("*", " ").replace(".", " ")
+        grp = grp.replace("·", " ").replace("*", " ")
+        # numeric scalars with a decimal point or scientific notation
+        # ('0.5', '1E6', '2.5e-3') must be consumed BEFORE '.' is treated as
+        # a multiplication separator and before tokenizing (else the exponent
+        # marker reads as a unit symbol)
+        def _num(m, _sign=sign):
+            nonlocal scale
+            scale *= float(m.group(0)) ** _sign
+            return " "
+
+        grp = re.sub(r"(?<![\w.])\d+\.?\d*[eE][+-]?\d+(?![\w.])|"
+                     r"(?<![\w.])\d+\.\d+(?![\w.])", _num, grp)
+        grp = grp.replace(".", " ")
         for m in _TOKEN_RE.finditer(grp):
             tok, exp = m.group(1), m.group(2)
             e = Fraction(int(exp) if exp is not None else 1) * sign

@@ -7,6 +7,30 @@ from xclim_tpu import indices
 from xclim_tpu.core.indicator import Daily, ResamplingIndicatorWithIndexing
 
 __all__ = [
+    "api",
+    "aridity_index",
+    "cffwis",
+    "days_over_precip_doy_thresh",
+    "days_with_snow",
+    "dc",
+    "df",
+    "dmc",
+    "dryness_index",
+    "ffdi",
+    "first_snowfall",
+    "fraction_over_precip_doy_thresh",
+    "kbdi",
+    "last_snowfall",
+    "liquid_precip_ratio",
+    "liquidprcpavg",
+    "rain_season",
+    "rprctot",
+    "snowfall_frequency",
+    "snowfall_intensity",
+    "solidprcpavg",
+    "spei",
+    "spi",
+    "water_cycle_intensity",
     "cdd",
     "cwd",
     "daily_pr_intensity",
@@ -299,4 +323,296 @@ wet_prcptot = PrecipWithIndexing(
                 "above {thresh}).",
     compute=indices.prcptot,
     parameters={"thresh": {"default": "1 mm/d"}},
+)
+
+
+# ---------------------------------------------------------------------------
+# additional reference indicators (xclim:_precip.py second half: fire, snow,
+# standardized indices, ratios)
+# ---------------------------------------------------------------------------
+
+
+class FireWeather(Precip):
+    """Fire-weather indicator (CFFWIS / FFDI families)."""
+
+    keywords = "fire"
+    missing = "skip"
+
+
+cffwis = FireWeather(
+    identifier="cffwis",
+    title="Canadian Forest Fire Weather Index System",
+    cf_attrs=[
+        {"var_name": "dc", "units": "", "long_name": "Drought code"},
+        {"var_name": "dmc", "units": "", "long_name": "Duff moisture code"},
+        {"var_name": "ffmc", "units": "",
+         "long_name": "Fine fuel moisture code"},
+        {"var_name": "isi", "units": "", "long_name": "Initial spread index"},
+        {"var_name": "bui", "units": "", "long_name": "Buildup index"},
+        {"var_name": "fwi", "units": "", "long_name": "Fire weather index"},
+        {"var_name": "dsr", "units": "",
+         "long_name": "Daily severity rating"},
+    ],
+    compute=indices.cffwis_indices,
+)
+
+dc = FireWeather(
+    identifier="dc",
+    title="Drought code",
+    units="",
+    long_name="Drought code",
+    description="Numerical code estimating the average moisture content of "
+                "deep, compact organic layers (CFFWIS).",
+    compute=indices.drought_code,
+)
+
+dmc = FireWeather(
+    identifier="dmc",
+    title="Duff moisture code",
+    units="",
+    long_name="Duff moisture code",
+    description="Numerical code estimating the average moisture content of "
+                "loosely compacted organic layers of moderate depth (CFFWIS).",
+    compute=indices.duff_moisture_code,
+)
+
+kbdi = FireWeather(
+    identifier="kbdi",
+    title="Keetch-Byram drought index",
+    units="mm/day",
+    long_name="Keetch-Byram drought index",
+    description="Amount of water necessary to bring the soil moisture "
+                "content back to field capacity.",
+    compute=indices.keetch_byram_drought_index,
+)
+
+df = FireWeather(
+    identifier="df",
+    title="Griffiths drought factor",
+    units="",
+    long_name="Griffiths drought factor",
+    description="Numeric indicator of the forest fire fuel availability in "
+                "the deep litter bed (Griffiths method).",
+    compute=indices.griffiths_drought_factor,
+)
+
+ffdi = FireWeather(
+    identifier="ffdi",
+    title="McArthur forest fire danger index",
+    units="",
+    long_name="McArthur forest fire danger index (Mark 5)",
+    description="Numeric rating of the potential danger of a forest fire.",
+    compute=indices.mcarthur_forest_fire_danger_index,
+)
+
+spi = Precip(
+    identifier="spi",
+    title="Standardized precipitation index",
+    units="",
+    standard_name="spi",
+    long_name="Standardized precipitation index (SPI)",
+    description="Precipitation over a moving {window}-X window, normalized "
+                "such that SPI averages to 0 for the calibration data.",
+    cell_methods="",
+    compute=indices.standardized_precipitation_index,
+)
+
+spei = Precip(
+    identifier="spei",
+    title="Standardized precipitation evapotranspiration index",
+    units="",
+    standard_name="spei",
+    long_name="Standardized precipitation evapotranspiration index (SPEI)",
+    description="Water budget (precipitation minus evapotranspiration) over "
+                "a moving {window}-X window, normalized such that SPEI "
+                "averages to 0 for the calibration data.",
+    cell_methods="",
+    compute=indices.standardized_precipitation_evapotranspiration_index,
+)
+
+rain_season = Precip(
+    identifier="rain_season",
+    title="Rain season",
+    cf_attrs=[
+        {"var_name": "rain_season_start", "units": "",
+         "long_name": "Day of year of the start of the rain season"},
+        {"var_name": "rain_season_end", "units": "",
+         "long_name": "Day of year of the end of the rain season"},
+        {"var_name": "rain_season_length", "units": "days",
+         "long_name": "Length of the rain season"},
+    ],
+    compute=indices.rain_season,
+)
+
+days_over_precip_doy_thresh = PrecipWithIndexing(
+    identifier="days_over_precip_doy_thresh",
+    title="Days over daily percentile precipitation",
+    units="days",
+    standard_name="number_of_days_with_lwe_thickness_of_precipitation_amount_"
+                  "above_daily_threshold",
+    long_name="Number of days with daily precipitation flux above the "
+              "{pr_per_thresh}th daily percentile",
+    description="{freq} number of days with precipitation above the "
+                "{pr_per_thresh}th daily percentile; only days with at least "
+                "{thresh} are counted.",
+    cell_methods="time: sum over days",
+    compute=indices.days_over_precip_thresh,
+)
+
+fraction_over_precip_doy_thresh = PrecipWithIndexing(
+    identifier="fraction_over_precip_doy_thresh",
+    title="Fraction of precipitation due to days over daily percentile",
+    units="",
+    long_name="Fraction of precipitation due to days with daily "
+              "precipitation above the {pr_per_thresh}th daily percentile",
+    description="{freq} fraction of total precipitation due to days with "
+                "precipitation above the {pr_per_thresh}th daily percentile.",
+    cell_methods="",
+    compute=indices.fraction_over_precip_thresh,
+)
+
+days_with_snow = PrecipWithIndexing(
+    identifier="days_with_snow",
+    title="Days with snowfall",
+    units="days",
+    long_name="Number of days with snowfall between {low} and {high} "
+              "thresholds",
+    description="{freq} number of days with snowfall larger than {low} and "
+                "at most {high}.",
+    cell_methods="time: sum over days",
+    compute=indices.days_with_snow,
+)
+
+first_snowfall = PrecipWithIndexing(
+    identifier="first_snowfall",
+    title="First snowfall",
+    units="",
+    standard_name="day_of_year",
+    long_name="Day of year of the first snowfall at or above {thresh}",
+    description="First day of year with snowfall at or above {thresh}.",
+    compute=indices.first_snowfall,
+)
+
+last_snowfall = PrecipWithIndexing(
+    identifier="last_snowfall",
+    title="Last snowfall",
+    units="",
+    standard_name="day_of_year",
+    long_name="Day of year of the last snowfall at or above {thresh}",
+    description="Last day of year with snowfall at or above {thresh}.",
+    compute=indices.last_snowfall,
+)
+
+snowfall_frequency = PrecipWithIndexing(
+    identifier="snowfall_frequency",
+    title="Snowfall frequency",
+    units="%",
+    long_name="Percentage of days with snowfall at or above {thresh}",
+    description="{freq} percentage of days with snowfall at or above "
+                "{thresh}.",
+    compute=indices.snowfall_frequency,
+)
+
+snowfall_intensity = PrecipWithIndexing(
+    identifier="snowfall_intensity",
+    title="Snowfall intensity",
+    units="mm/day",
+    long_name="Mean daily snowfall on days with snowfall at or above {thresh}",
+    description="{freq} mean daily liquid-water-equivalent snowfall on days "
+                "with snowfall at or above {thresh}.",
+    compute=indices.snowfall_intensity,
+)
+
+liquid_precip_ratio = PrecipWithIndexing(
+    identifier="liquid_precip_ratio",
+    title="Liquid precipitation ratio",
+    units="",
+    long_name="Fraction of liquid to total precipitation (temperature above "
+              "{thresh})",
+    description="{freq} ratio of liquid (temperature above {thresh}) to "
+                "total precipitation.",
+    cell_methods="",
+    compute=indices.liquid_precip_ratio,
+)
+
+liquidprcpavg = PrecipWithIndexing(
+    identifier="liquidprcpavg",
+    title="Mean liquid precipitation",
+    units="mm",
+    standard_name="lwe_average_of_liquid_precipitation_amount",
+    long_name="Mean liquid precipitation (temperature above {thresh})",
+    description="{freq} mean liquid precipitation, estimated as "
+                "precipitation when temperature is above {thresh}.",
+    cell_methods="time: mean over days",
+    compute=indices.precip_average,
+    parameters={"phase": "liquid"},
+)
+
+solidprcpavg = PrecipWithIndexing(
+    identifier="solidprcpavg",
+    title="Mean solid precipitation",
+    units="mm",
+    standard_name="lwe_average_of_solid_precipitation_amount",
+    long_name="Mean solid precipitation (temperature at or below {thresh})",
+    description="{freq} mean solid precipitation, estimated as precipitation "
+                "when temperature is at or below {thresh}.",
+    cell_methods="time: mean over days",
+    compute=indices.precip_average,
+    parameters={"phase": "solid"},
+)
+
+rprctot = PrecipWithIndexing(
+    identifier="rprctot",
+    title="Proportion of accumulated precipitation from convective storms",
+    units="",
+    long_name="Proportion of accumulated precipitation arising from "
+              "convective processes",
+    description="{freq} proportion of total precipitation due to convective "
+                "precipitation, on days with total precipitation at or above "
+                "{thresh}.",
+    cell_methods="time: sum",
+    compute=indices.rprctot,
+)
+
+water_cycle_intensity = Precip(
+    identifier="water_cycle_intensity",
+    title="Water cycle intensity",
+    units="mm",
+    long_name="Water cycle intensity",
+    description="{freq} sum of precipitation and actual evapotranspiration.",
+    cell_methods="time: sum over days",
+    compute=indices.water_cycle_intensity,
+)
+
+aridity_index = Precip(
+    identifier="aridity_index",
+    title="Aridity index",
+    units="",
+    long_name="Aridity index",
+    description="Ratio of precipitation over potential evapotranspiration.",
+    allowed_periods=["Y"],
+    compute=indices.aridity_index,
+)
+
+api = Precip(
+    identifier="api",
+    title="Antecedent precipitation index",
+    units="mm",
+    long_name="Antecedent precipitation index",
+    description="Weighted summation of daily precipitation over a {window}-"
+                "day window (weight {p_exp}^days-ago).",
+    missing="skip",
+    compute=indices.antecedent_precipitation_index,
+)
+
+dryness_index = Precip(
+    identifier="dryness_index",
+    title="Dryness index",
+    units="mm",
+    long_name="Growing season humidity",
+    description="Estimate of growing-season soil humidity: initial reserve "
+                "plus precipitation minus adjusted potential transpiration "
+                "and evaporation (April-September, northern hemisphere).",
+    allowed_periods=["Y"],
+    compute=indices.dryness_index,
 )

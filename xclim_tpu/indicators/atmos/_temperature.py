@@ -14,6 +14,32 @@ from xclim_tpu.core.indicator import (
 )
 
 __all__ = [
+    "australian_hardiness_zones",
+    "cool_night_index",
+    "cooling_degree_days_approximation",
+    "corn_heat_units",
+    "cp",
+    "cu",
+    "dlyfrzthw",
+    "effective_growing_degree_days",
+    "fire_season",
+    "first_day_tg_below",
+    "first_day_tn_below",
+    "first_day_tx_below",
+    "freezethaw_spell_frequency",
+    "freezethaw_spell_max_length",
+    "freezethaw_spell_mean_length",
+    "freezing_degree_days",
+    "frost_free_spell_max_length",
+    "heat_spell_frequency",
+    "heat_spell_max_length",
+    "heat_spell_total_length",
+    "heating_degree_days_approximation",
+    "hot_days",
+    "late_frost_days",
+    "latitude_temperature_index",
+    "thawing_degree_days",
+    "usda_hardiness_zones",
     "cold_spell_days",
     "cold_spell_duration_index",
     "cold_spell_frequency",
@@ -836,4 +862,379 @@ biologically_effective_degree_days = Temp(
     description="Considers daily tasmin/tasmax with latitude-adjusted degree "
                 "days between {start_date} and {end_date}.",
     compute=indices.biologically_effective_degree_days,
+)
+
+
+# ---------------------------------------------------------------------------
+# additional reference indicators (xclim:_temperature.py, second half)
+# ---------------------------------------------------------------------------
+
+from xclim_tpu.core.indicator import Hourly as _Hourly  # noqa: E402
+
+
+class HourlyTemp(_Hourly):
+    """Hourly temperature indicator (chill models)."""
+
+    realm = "atmos"
+    keywords = "temperature agriculture"
+
+
+first_day_tg_below = Temp(
+    identifier="first_day_tg_below",
+    title="First day with mean temperature below a threshold",
+    units="1",
+    long_name="First day of year with mean temperature below {thresh}",
+    description="First day of year with mean temperature below {thresh} for "
+                "at least {window} days.",
+    compute=indices.first_day_temperature_below,
+    parameters={"thresh": {"default": "0 degC"}},
+)
+
+first_day_tn_below = Temp(
+    identifier="first_day_tn_below",
+    title="First day with minimum temperature below a threshold",
+    units="1",
+    long_name="First day of year with minimum temperature below {thresh}",
+    description="First day of year with minimum temperature below {thresh} "
+                "for at least {window} days.",
+    compute=indices.first_day_temperature_below,
+    input={"tas": "tasmin"},
+    parameters={"thresh": {"default": "0 degC"}},
+)
+
+first_day_tx_below = Temp(
+    identifier="first_day_tx_below",
+    title="First day with maximum temperature below a threshold",
+    units="1",
+    long_name="First day of year with maximum temperature below {thresh}",
+    description="First day of year with maximum temperature below {thresh} "
+                "for at least {window} days.",
+    compute=indices.first_day_temperature_below,
+    input={"tas": "tasmax"},
+    parameters={"thresh": {"default": "0 degC"}},
+)
+
+hot_days = TempWithIndexing(
+    identifier="hot_days",
+    title="Hot days",
+    units="days",
+    standard_name="days_with_air_temperature_above_threshold",
+    long_name="Number of days where the daily maximum temperature is above "
+              "{thresh}",
+    description="{freq} number of days where the daily maximum temperature "
+                "is above {thresh}.",
+    cell_methods="time: sum over days",
+    compute=indices.hot_days,
+)
+
+late_frost_days = TempWithIndexing(
+    identifier="late_frost_days",
+    title="Late frost days",
+    units="days",
+    standard_name="days_with_air_temperature_below_threshold",
+    long_name="Number of days where the daily minimum temperature is below "
+              "{thresh}",
+    description="{freq} number of days where the daily minimum temperature "
+                "is below {thresh} over the period {indexer}.",
+    cell_methods="time: sum over days",
+    compute=indices.frost_days,
+)
+
+freezing_degree_days = TempWithIndexing(
+    identifier="freezing_degree_days",
+    title="Freezing degree days",
+    units="K days",
+    standard_name="integral_of_air_temperature_deficit_wrt_time",
+    long_name="Cumulative sum of temperature degrees for mean daily "
+              "temperature below {thresh}",
+    description="{freq} freezing degree days (mean temperature below "
+                "{thresh}).",
+    cell_methods="time: sum over days",
+    compute=indices.heating_degree_days,
+    parameters={"thresh": {"default": "0 degC"}},
+)
+
+thawing_degree_days = TempWithIndexing(
+    identifier="thawing_degree_days",
+    title="Thawing degree days",
+    units="K days",
+    standard_name="integral_of_air_temperature_excess_wrt_time",
+    long_name="Cumulative sum of temperature degrees for mean daily "
+              "temperature above {thresh}",
+    description="{freq} thawing degree days (mean temperature above "
+                "{thresh}).",
+    cell_methods="time: sum over days",
+    compute=indices.growing_degree_days,
+    parameters={"thresh": {"default": "0 degC"}},
+)
+
+cooling_degree_days_approximation = TempWithIndexing(
+    identifier="cooling_degree_days_approximation",
+    title="Cooling degree days approximation",
+    units="K days",
+    long_name="Cooling degree days approximated from min and max temperature",
+    description="{freq} cooling degree days approximated from daily minimum, "
+                "maximum and mean temperatures (UK Met Office method), above "
+                "{thresh}.",
+    cell_methods="time: sum over days",
+    compute=indices.cooling_degree_days_approximation,
+)
+
+heating_degree_days_approximation = TempWithIndexing(
+    identifier="heating_degree_days_approximation",
+    title="Heating degree days approximation",
+    units="K days",
+    long_name="Heating degree days approximated from min and max temperature",
+    description="{freq} heating degree days approximated from daily minimum, "
+                "maximum and mean temperatures (UK Met Office method), below "
+                "{thresh}.",
+    cell_methods="time: sum over days",
+    compute=indices.heating_degree_days_approximation,
+)
+
+dlyfrzthw = TempWithIndexing(
+    identifier="dlyfrzthw",
+    title="Daily freeze-thaw cycles",
+    units="days",
+    long_name="Number of days with a diurnal freeze-thaw cycle",
+    description="{freq} number of days with a diurnal freeze-thaw cycle: "
+                "maximum daily temperature above {thresh_tasmax} and minimum "
+                "daily temperature at or below {thresh_tasmin}.",
+    compute=indices.multiday_temperature_swing,
+    parameters={"op": "sum", "window": 1,
+                "thresh_tasmax": {"default": "0 degC"},
+                "thresh_tasmin": {"default": "0 degC"},
+                "op_tasmax": {"default": ">"},
+                "op_tasmin": {"default": "<="}},
+)
+
+freezethaw_spell_frequency = Temp(
+    identifier="freezethaw_spell_frequency",
+    title="Freeze-thaw spell frequency",
+    units="days",
+    long_name="Number of freeze-thaw spells of at least {window} days",
+    description="{freq} number of freeze-thaw spells: maximum daily "
+                "temperature above {thresh_tasmax} and minimum daily "
+                "temperature at or below {thresh_tasmin} for at least "
+                "{window} consecutive day(s).",
+    compute=indices.multiday_temperature_swing,
+    parameters={"op": "count",
+                "thresh_tasmax": {"default": "0 degC"},
+                "thresh_tasmin": {"default": "0 degC"},
+                "op_tasmax": {"default": ">"},
+                "op_tasmin": {"default": "<="}},
+)
+
+freezethaw_spell_mean_length = Temp(
+    identifier="freezethaw_spell_mean_length",
+    title="Freeze-thaw spell mean length",
+    units="days",
+    long_name="Average length of freeze-thaw spells of at least {window} days",
+    description="{freq} average length of freeze-thaw spells: maximum daily "
+                "temperature above {thresh_tasmax} and minimum daily "
+                "temperature at or below {thresh_tasmin} for at least "
+                "{window} consecutive day(s).",
+    compute=indices.multiday_temperature_swing,
+    parameters={"op": "mean",
+                "thresh_tasmax": {"default": "0 degC"},
+                "thresh_tasmin": {"default": "0 degC"},
+                "op_tasmax": ">", "op_tasmin": "<="},
+)
+
+freezethaw_spell_max_length = Temp(
+    identifier="freezethaw_spell_max_length",
+    title="Freeze-thaw spell maximum length",
+    units="days",
+    long_name="Maximal length of freeze-thaw spells of at least {window} days",
+    description="{freq} maximal length of freeze-thaw spells: maximum daily "
+                "temperature above {thresh_tasmax} and minimum daily "
+                "temperature at or below {thresh_tasmin} for at least "
+                "{window} consecutive day(s).",
+    compute=indices.multiday_temperature_swing,
+    parameters={"op": "max",
+                "thresh_tasmax": {"default": "0 degC"},
+                "thresh_tasmin": {"default": "0 degC"},
+                "op_tasmax": ">", "op_tasmin": "<="},
+)
+
+frost_free_spell_max_length = Temp(
+    identifier="frost_free_spell_max_length",
+    title="Frost-free spell maximum length",
+    units="days",
+    long_name="Maximal length of frost-free spells of at least {window} days",
+    description="{freq} maximal length of spells with minimum temperature at "
+                "or above {thresh} for at least {window} consecutive day(s).",
+    compute=indices.frost_free_spell_max_length,
+)
+
+heat_spell_frequency = Temp(
+    identifier="heat_spell_frequency",
+    title="Heat spell frequency",
+    units="",
+    long_name="Number of heat spells",
+    description="{freq} number of heat spells: {window}-day averages of "
+                "daily minimum and maximum temperatures each exceeding "
+                "{threshold1} and {threshold2}.",
+    keywords="health",
+    compute=indices.generic.bivariate_spell_length_statistics,
+    input={"data1": "tasmin", "data2": "tasmax"},
+    parameters={"spell_reducer": "count", "op": ">=",
+                "window": {"default": 3},
+                "win_reducer": {"default": "mean"},
+                "freq": {"default": "YS"},
+                "threshold1": {"default": "20 degC"},
+                "threshold2": {"default": "33 degC"}},
+)
+
+heat_spell_max_length = Temp(
+    identifier="heat_spell_max_length",
+    title="Heat spell maximum length",
+    units="days",
+    long_name="Longest heat spell",
+    description="{freq} longest heat spell: {window}-day averages of daily "
+                "minimum and maximum temperatures each exceeding {threshold1} "
+                "and {threshold2}.",
+    keywords="health",
+    compute=indices.generic.bivariate_spell_length_statistics,
+    input={"data1": "tasmin", "data2": "tasmax"},
+    parameters={"spell_reducer": "max", "op": ">=",
+                "window": {"default": 3},
+                "win_reducer": {"default": "mean"},
+                "freq": {"default": "YS"},
+                "threshold1": {"default": "20 degC"},
+                "threshold2": {"default": "33 degC"}},
+)
+
+heat_spell_total_length = Temp(
+    identifier="heat_spell_total_length",
+    title="Heat spell total length",
+    units="days",
+    long_name="Total length of heat spells",
+    description="{freq} total length of heat spells: {window}-day averages "
+                "of daily minimum and maximum temperatures each exceeding "
+                "{threshold1} and {threshold2}.",
+    keywords="health",
+    compute=indices.generic.bivariate_spell_length_statistics,
+    input={"data1": "tasmin", "data2": "tasmax"},
+    parameters={"spell_reducer": "sum", "op": ">=",
+                "window": {"default": 3},
+                "win_reducer": {"default": "mean"},
+                "freq": {"default": "YS"},
+                "threshold1": {"default": "20 degC"},
+                "threshold2": {"default": "33 degC"}},
+)
+
+fire_season = Temp(
+    identifier="fire_season",
+    title="Fire season mask",
+    units="",
+    long_name="Fire season mask",
+    description="Fire season mask, computed with method {method}.",
+    missing="skip",
+    compute=indices.fire_season,
+)
+
+latitude_temperature_index = Temp(
+    identifier="latitude_temperature_index",
+    title="Latitude temperature index",
+    units="",
+    var_name="lti",
+    long_name="Mean temperature of warmest month multiplied by the "
+              "difference of {lat_factor} minus latitude",
+    description="A viticulture suitability index: mean temperature of the "
+                "warmest month multiplied by ({lat_factor} - latitude).",
+    allowed_periods=["Y"],
+    compute=indices.latitude_temperature_index,
+    parameters={"lat_factor": 60},
+)
+
+usda_hardiness_zones = Temp(
+    identifier="usda_hardiness_zones",
+    title="USDA hardiness zones",
+    units="",
+    var_name="hz",
+    long_name="Hardiness zones",
+    description="Plant-suitability classification from a {window}-year "
+                "rolling average of the annual minimum temperature (USDA "
+                "10-degF zones with half-zones).",
+    allowed_periods=["Y"],
+    compute=indices.hardiness_zones,
+    parameters={"method": "usda"},
+)
+
+australian_hardiness_zones = Temp(
+    identifier="australian_hardiness_zones",
+    title="Australian hardiness zones",
+    units="",
+    var_name="hz",
+    long_name="Hardiness zones",
+    description="Plant-suitability classification from a {window}-year "
+                "rolling average of the annual minimum temperature (ANBG "
+                "5-degC zones).",
+    allowed_periods=["Y"],
+    compute=indices.hardiness_zones,
+    parameters={"method": "anbg"},
+)
+
+cool_night_index = Temp(
+    identifier="cool_night_index",
+    title="Cool night index",
+    units="degC",
+    long_name="Mean minimum temperature in late summer",
+    description="Mean minimum temperature in September (northern hemisphere) "
+                "or March (southern hemisphere); a viticulture ripening "
+                "index.",
+    allowed_periods=["Y"],
+    compute=indices.cool_night_index,
+)
+
+corn_heat_units = Temp(
+    identifier="corn_heat_units",
+    title="Corn heat units",
+    units="",
+    long_name="Corn heat units (Tmin > {thresh_tasmin} and Tmax > "
+              "{thresh_tasmax})",
+    description="Temperature-based index of crop development for corn, from "
+                "daily minimum and maximum temperatures.",
+    missing="skip",
+    compute=indices.corn_heat_units,
+)
+
+effective_growing_degree_days = Temp(
+    identifier="effective_growing_degree_days",
+    title="Effective growing degree days",
+    units="K days",
+    var_name="egdd",
+    long_name="Integral of mean daily temperature above {thresh} between "
+              "dynamically-determined season start and end dates",
+    description="{freq} heat-summation between a {method}-determined growing "
+                "season start and the first fall frost after {after_date}.",
+    compute=indices.effective_growing_degree_days,
+)
+
+cp = HourlyTemp(
+    identifier="cp",
+    title="Chill portions",
+    units="",
+    long_name="Chill portions after the Dynamic Model",
+    description="Chill portions estimate the bud-breaking potential of "
+                "crops via the two-step dynamic model of cold-temperature "
+                "accumulation (requires hourly temperature).",
+    cell_methods="time: sum",
+    allowed_periods=["Y"],
+    missing="skip",
+    compute=indices.chill_portions,
+)
+
+cu = HourlyTemp(
+    identifier="cu",
+    title="Chill units",
+    units="",
+    long_name="Chill units after the Utah Model",
+    description="Chill units estimate the bud-breaking potential of crops "
+                "with the Utah model's hourly temperature weights.",
+    cell_methods="time: sum",
+    allowed_periods=["Y"],
+    missing="skip",
+    compute=indices.chill_units,
 )

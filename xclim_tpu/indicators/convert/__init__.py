@@ -7,6 +7,14 @@ from xclim_tpu import indices
 from xclim_tpu.core.indicator import Indicator
 
 __all__ = [
+    "clearness_index",
+    "longwave_upwelling_radiation_from_net_downwelling",
+    "mean_temperature_from_max_and_min",
+    "shortwave_upwelling_radiation_from_net_downwelling",
+    "tdps_from_huss",
+    "vapor_pressure",
+    "vapor_pressure_deficit",
+    "water_budget_from_tas",
     "heat_index",
     "humidex",
     "mean_radiant_temperature",
@@ -175,7 +183,8 @@ rain_approximation = Converter(
 )
 
 snd_to_snw = Converter(
-    identifier="snw",
+    identifier="snd_to_snw",
+    var_name="snw",
     title="Snow amount from snow depth",
     units="kg m-2",
     standard_name="surface_snow_amount",
@@ -185,7 +194,8 @@ snd_to_snw = Converter(
 )
 
 snw_to_snd = Converter(
-    identifier="snd",
+    identifier="snw_to_snd",
+    var_name="snd",
     title="Snow depth from snow amount",
     units="m",
     standard_name="surface_snow_thickness",
@@ -259,4 +269,93 @@ wind_power_potential = Converter(
     description="Fraction of rated turbine power producible from the wind "
                 "speed.",
     compute=indices.wind_power_potential,
+)
+
+
+vapor_pressure = Converter(
+    identifier="vapor_pressure",
+    title="Vapor pressure",
+    units="Pa",
+    standard_name="water_vapor_partial_pressure_in_air",
+    long_name="Water vapor partial pressure",
+    description="Water vapor partial pressure computed from specific "
+                "humidity and pressure.",
+    compute=indices.vapor_pressure,
+)
+
+vapor_pressure_deficit = Converter(
+    identifier="vapor_pressure_deficit",
+    title="Vapor pressure deficit",
+    units="Pa",
+    standard_name="water_vapor_saturation_deficit_in_air",
+    long_name="Water vapor saturation deficit",
+    description="Difference between saturation and actual vapor pressure "
+                "({method} method).",
+    compute=indices.vapor_pressure_deficit,
+)
+
+tdps_from_huss = Converter(
+    identifier="tdps_from_huss",
+    title="Dewpoint temperature from specific humidity",
+    units="K",
+    standard_name="dew_point_temperature",
+    long_name="Dewpoint temperature",
+    description="Dewpoint temperature from specific humidity and pressure "
+                "({method} method).",
+    compute=indices.dewpoint_from_specific_humidity,
+)
+
+longwave_upwelling_radiation_from_net_downwelling = Converter(
+    identifier="longwave_upwelling_radiation_from_net_downwelling",
+    title="Upwelling longwave radiation",
+    units="W m-2",
+    standard_name="surface_upwelling_longwave_flux",
+    long_name="Upwelling longwave flux",
+    description="Upwelling longwave radiation from net and downwelling "
+                "longwave fluxes.",
+    compute=indices.longwave_upwelling_radiation_from_net_downwelling,
+)
+
+shortwave_upwelling_radiation_from_net_downwelling = Converter(
+    identifier="shortwave_upwelling_radiation_from_net_downwelling",
+    title="Upwelling shortwave radiation",
+    units="W m-2",
+    standard_name="surface_upwelling_shortwave_flux",
+    long_name="Upwelling shortwave flux",
+    description="Upwelling shortwave radiation from net and downwelling "
+                "shortwave fluxes.",
+    compute=indices.shortwave_upwelling_radiation_from_net_downwelling,
+)
+
+clearness_index = Converter(
+    identifier="clearness_index",
+    title="Clearness index",
+    units="",
+    long_name="Clearness index",
+    description="Ratio of shortwave downwelling radiation to "
+                "extraterrestrial radiation.",
+    compute=indices.clearness_index,
+)
+
+mean_temperature_from_max_and_min = Converter(
+    identifier="mean_temperature_from_max_and_min",
+    title="Mean temperature from maximum and minimum temperatures",
+    units="K",
+    standard_name="air_temperature",
+    long_name="Daily mean temperature",
+    description="Estimated mean daily temperature from maximum and minimum "
+                "temperatures.",
+    cell_methods="time: mean within days",
+    compute=indices.tas_from_tasmin_tasmax,
+)
+
+water_budget_from_tas = Converter(
+    identifier="water_budget_from_tas",
+    title="Water budget from temperature",
+    units="kg m-2 s-1",
+    long_name="Water budget ({method} method)",
+    description="Precipitation minus potential evapotranspiration estimated "
+                "from temperature ({method} method).",
+    compute=indices.converters.water_budget,
+    parameters={"evspsblpot": None},
 )

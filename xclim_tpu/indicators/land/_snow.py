@@ -3,9 +3,16 @@
 from __future__ import annotations
 
 from xclim_tpu import indices
-from xclim_tpu.core.indicator import Daily
+from xclim_tpu.core.indicator import Daily, ResamplingIndicatorWithIndexing
 
 __all__ = [
+    "holiday_snow_and_snowfall_days",
+    "holiday_snow_days",
+    "melt_and_precip_max",
+    "snd_max_doy",
+    "snow_melt_we_max",
+    "snw_max",
+    "snw_max_doy",
     "blowing_snow",
     "snd_days_above",
     "snd_season_end",
@@ -142,4 +149,96 @@ snow_depth = Snow(
     description="{freq} mean of daily mean snow depth.",
     cell_methods="time: mean over days",
     compute=indices.snow_depth,
+)
+
+
+class SnowWithIndexing(ResamplingIndicatorWithIndexing):
+    """Snow indicator with **indexer support (xclim:land/_snow.py)."""
+
+    realm = "land"
+    keywords = "snow"
+    src_freq = "D"
+
+
+snd_max_doy = SnowWithIndexing(
+    identifier="snd_max_doy",
+    title="Day of year of maximum snow depth",
+    units="",
+    standard_name="day_of_year",
+    var_name="{freq}_snd_max_doy",
+    long_name="Day of the year when snow depth reaches its maximum value",
+    description="The {freq} day of the year when snow depth reaches its "
+                "maximum value.",
+    compute=indices.snd_max_doy,
+)
+
+snw_max = SnowWithIndexing(
+    identifier="snw_max",
+    title="Maximum snow amount",
+    units="kg m-2",
+    standard_name="surface_snow_amount",
+    var_name="{freq}_snw_max",
+    long_name="Maximum snow amount equivalent",
+    description="The {freq} maximum snow amount equivalent on the surface.",
+    compute=indices.snw_max,
+)
+
+snw_max_doy = SnowWithIndexing(
+    identifier="snw_max_doy",
+    title="Day of year of maximum snow amount",
+    units="",
+    standard_name="day_of_year",
+    var_name="{freq}_snw_max_doy",
+    long_name="Day of the year when snow amount equivalent reaches its "
+              "maximum value",
+    description="The {freq} day of the year when snow amount equivalent "
+                "reaches its maximum value.",
+    compute=indices.snw_max_doy,
+)
+
+snow_melt_we_max = Snow(
+    identifier="snow_melt_we_max",
+    title="Maximum snow melt",
+    units="kg m-2",
+    standard_name="change_over_time_in_surface_snow_amount",
+    var_name="{freq}_snow_melt_we_max",
+    long_name="Maximum snow melt over a {window}-day window",
+    description="The {freq} maximum water-equivalent snow melt over a "
+                "{window}-day window.",
+    compute=indices.snow_melt_we_max,
+)
+
+melt_and_precip_max = Snow(
+    identifier="melt_and_precip_max",
+    title="Maximum melt and precipitation",
+    units="kg m-2",
+    var_name="{freq}_melt_and_precip_max",
+    long_name="Maximum combined snow melt and precipitation over a "
+              "{window}-day window",
+    description="The {freq} maximum combined water-equivalent snow melt and "
+                "precipitation over a {window}-day window.",
+    compute=indices.melt_and_precip_max,
+)
+
+holiday_snow_days = Snow(
+    identifier="holiday_snow_days",
+    title="Christmas snow days",
+    units="days",
+    long_name="Number of holiday days with snow",
+    description="Number of holiday days (between {date_start} and "
+                "{date_end}) with snow depth {snd_op} {snd_thresh}.",
+    missing="skip",
+    compute=indices.holiday_snow_days,
+)
+
+holiday_snow_and_snowfall_days = Snow(
+    identifier="holiday_snow_and_snowfall_days",
+    title="Perfect Christmas snow days",
+    units="days",
+    long_name="Number of holiday days with snow and snowfall",
+    description="Number of holiday days (between {date_start} and "
+                "{date_end}) with snow depth {snd_op} {snd_thresh} and "
+                "snowfall {prsn_op} {prsn_thresh}.",
+    missing="skip",
+    compute=indices.holiday_snow_and_snowfall_days,
 )

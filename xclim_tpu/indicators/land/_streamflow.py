@@ -7,6 +7,10 @@ from xclim_tpu import indices
 from xclim_tpu.core.indicator import Daily, ReducingIndicator, ResamplingIndicator
 
 __all__ = [
+    "base_flow_index_seasonal_ratio",
+    "lag_snowpack_flow_peaks",
+    "runoff_ratio",
+    "sen_slope",
     "base_flow_index",
     "doy_qmax",
     "doy_qmin",
@@ -113,4 +117,54 @@ low_flow_frequency = Streamflow(
     description="{freq} frequency of flows smaller than {threshold_factor} "
                 "times the mean flow.",
     compute=indices.low_flow_frequency,
+)
+
+
+base_flow_index_seasonal_ratio = Streamflow(
+    identifier="base_flow_index_seasonal_ratio",
+    title="Seasonal base flow index and winter/summer ratio",
+    cf_attrs=[
+        {"var_name": "bfi", "units": "",
+         "long_name": "Base flow index per season"},
+        {"var_name": "bfi_ratio", "units": "",
+         "long_name": "Ratio of {numerator} to {denominator} base flow index"},
+    ],
+    missing="skip",
+    compute=indices.base_flow_index_seasonal_ratio,
+)
+
+lag_snowpack_flow_peaks = Streamflow(
+    identifier="lag_snowpack_flow_peaks",
+    title="Lag between maximum snowpack and river high flows",
+    units="days",
+    long_name="Days between annual maximum snowpack and the mean date of "
+              "high flows",
+    description="{freq} number of days between the maximum snow amount and "
+                "the mean date of flows exceeding the {p} quantile.",
+    missing="skip",
+    compute=indices.lag_snowpack_flow_peaks,
+)
+
+runoff_ratio = Streamflow(
+    identifier="runoff_ratio",
+    title="Runoff ratio",
+    units="",
+    long_name="Ratio of streamflow to precipitation",
+    description="{freq} ratio of the accumulated streamflow volume to the "
+                "accumulated precipitation over the drainage area.",
+    missing="skip",
+    compute=indices.runoff_ratio,
+)
+
+sen_slope = Streamflow(
+    identifier="sen_slope",
+    title="Sen slope and Mann-Kendall trend test",
+    cf_attrs=[
+        {"var_name": "sen_slope", "units": "",
+         "long_name": "Theil-Sen slope estimator"},
+        {"var_name": "p_value", "units": "",
+         "long_name": "Mann-Kendall trend test p-value"},
+    ],
+    missing="skip",
+    compute=indices.sen_slope,
 )

@@ -24,6 +24,7 @@ __all__ = [
     "antecedent_precipitation_index",
     "aridity_index",
     "base_flow_index",
+    "base_flow_index_seasonal_ratio",
     "flow_index",
     "high_flow_frequency",
     "lag_snowpack_flow_peaks",
@@ -40,6 +41,43 @@ __all__ = [
     "standardized_groundwater_index",
     "standardized_streamflow_index",
 ]
+
+
+@declare_units(q="[discharge]")
+def base_flow_index_seasonal_ratio(q: ClimArray, freq: str = "QS-DEC",
+                                   numerator: str = "DJF",
+                                   denominator: str = "JJA"):
+    """Seasonal base flow index and its winter/summer ratio
+    (xclim:_hydrology.py:997).
+
+    Returns (bfi, ratio): bfi on ('year', 'season') built from the quarterly
+    base flow index, and the per-year numerator/denominator season ratio.
+    """
+    bfi_q = base_flow_index(q, freq=freq)   # one value per quarter
+    labels = bfi_q.time
+    seas = labels.season                     # 'DJF'/'MAM'/'JJA'/'SON' per quarter
+    # quarter starting in Dec belongs to the following year (QS-DEC anchor)
+    year = labels.year + (labels.month == 12).astype(np.int64)
+    seasons = np.array(["DJF", "MAM", "JJA", "SON"])
+    years = np.unique(year)
+    tbl = np.full((len(years), 4), -1, dtype=np.int64)
+    for i, (y, s) in enumerate(zip(year, seas)):
+        tbl[np.searchsorted(years, y), list(seasons).index(s)] = i
+    data = jnp.moveaxis(bfi_q.data, bfi_q.dims.index("time"), 0)
+    g = jnp.where((jnp.asarray(tbl) >= 0).reshape(tbl.shape + (1,) * (data.ndim - 1)),
+                  data[jnp.maximum(jnp.asarray(tbl), 0)], jnp.nan)
+    space_dims = tuple(d for d in q.dims if d != "time")
+    coords = {k: v for k, v in q.coords.items() if k in space_dims}
+    bfi = ClimArray(g, ("year", "season") + space_dims,
+                    {"year": years, "season": seasons, **coords},
+                    {"units": ""}, "bfi")
+    den = g[:, list(seasons).index(denominator)]
+    num = g[:, list(seasons).index(numerator)]
+    rd = num / jnp.where(den > 0, den, jnp.nan)
+    ratio = ClimArray(rd, ("year",) + space_dims, {"year": years, **coords},
+                      {"units": "", "numerator": numerator,
+                       "denominator": denominator}, "bfi_ratio")
+    return bfi, ratio
 
 
 @declare_units(q="[discharge]")

@@ -37,6 +37,7 @@ from xclim_tpu.indices.generic import (
 __all__ = [
     "calm_days",
     "cold_spell_days",
+    "days_with_snow",
     "cold_spell_frequency",
     "cold_spell_max_length",
     "cold_spell_total_length",
@@ -314,6 +315,20 @@ def wetdays(pr: ClimArray, thresh: str = "1.0 mm/day", freq: str = "YS",
     t = convert_units_to(str2pint(thresh), pr, context="hydro")
     wd = threshold_count(pr, op, t, freq, constrain=(">", ">="))
     return to_agg_units(wd, pr, "count", deffreq="D")
+
+
+@declare_units(prsn="[precipitation]", low="[precipitation]",
+               high="[precipitation]")
+def days_with_snow(prsn: ClimArray, low: str = "0 kg m-2 s-1",
+                   high: str = "1E6 kg m-2 s-1",
+                   freq: str = "YS-JUL") -> ClimArray:
+    """Days with snowfall flux within ]low, high] (xclim:_threshold.py:1817)."""
+    from xclim_tpu.indices.generic import domain_count
+
+    lo = convert_units_to(str2pint(low), prsn, context="hydro")
+    hi = convert_units_to(str2pint(high), prsn, context="hydro")
+    out = domain_count(prsn, lo, hi, freq)
+    return to_agg_units(out, prsn, "count", deffreq="D")
 
 
 @declare_units(pr="[precipitation]", thresh="[precipitation]")
