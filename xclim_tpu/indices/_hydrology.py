@@ -33,6 +33,7 @@ __all__ = [
     "rb_flashiness_index",
     "runoff_ratio",
     "sen_slope",
+    "sen_slope_ratio",
     "snd_max",
     "snd_max_doy",
     "snow_melt_we_max",
@@ -335,3 +336,18 @@ def sen_slope(q: ClimArray, freq: str = "YS"):
     sl = ClimArray(slope, out_dims, coords, {"units": ""}, "sen_slope")
     pv = ClimArray(p, out_dims, dict(coords), {"units": ""}, "p_value")
     return sl, pv
+
+
+@declare_units(q="[discharge]", qsim="[discharge]")
+def sen_slope_ratio(q: ClimArray, qsim: ClimArray, freq: str = "YS"):
+    """Sen slope + Mann-Kendall test of observed and simulated streamflow,
+    and the ratio of their slopes (xclim:_hydrology.py:949).
+
+    Returns (sen_slope, p_value, sen_slope_sim, p_value_sim, ratio).
+    """
+    s_obs, p_obs = sen_slope(q, freq=freq)
+    s_sim, p_sim = sen_slope(qsim, freq=freq)
+    ratio = s_sim / s_obs.where(jnp.abs(s_obs.data) > 0)
+    ratio.attrs["units"] = ""
+    ratio.name = "sen_slope_ratio"
+    return s_obs, p_obs, s_sim, p_sim, ratio

@@ -26,6 +26,8 @@ from xclim_tpu.core.units import (
 )
 
 __all__ = [
+    "fao_allen98",
+    "tas",
     "clausius_clapeyron_scaled_precipitation",
     "clearness_index",
     "dewpoint_from_specific_humidity",
@@ -812,3 +814,40 @@ def wind_power_potential(wind_speed: ClimArray, air_density=None,
     out.attrs = {"units": ""}
     out.name = "wind_power_potential"
     return out
+
+
+def tas(*args, **kwargs):
+    """Deprecated alias of :func:`tas_from_tasmin_tasmax`
+    (xclim:converters.py:226)."""
+    return tas_from_tasmin_tasmax(*args, **kwargs)
+
+
+def fao_allen98(net_radiation, tas, wind, es, ea, delta_svp, gamma,
+                G="0 MJ m-2 day-1"):
+    """FAO-56 Penman-Monteith reference evapotranspiration [mm/day]
+    (xclim:converters.py:1825).
+
+    All inputs are raw quantities: net_radiation/G [MJ m-2 day-1], tas [degC],
+    wind at 2 m [m s-1], es/ea [kPa], delta_svp [kPa/degC], gamma [kPa/degC].
+    """
+    from xclim_tpu.core.units import convert_units_to as _cv
+    from xclim_tpu.core.units import str2pint as _sp
+
+    g_v = _cv(_sp(G), "MJ m-2 day-1") if isinstance(G, str) else G
+
+    def _d(x):
+        return x.data if hasattr(x, "data") else jnp.asarray(x)
+
+    rn = _d(net_radiation)
+    t = _d(tas)
+    w = _d(wind)
+    num = (0.408 * _d(delta_svp) * (rn - g_v)
+           + _d(gamma) * 900.0 / (t + 273.0) * w * (_d(es) - _d(ea)))
+    den = _d(delta_svp) + _d(gamma) * (1.0 + 0.34 * w)
+    pet = num / den
+    if hasattr(net_radiation, "copy"):
+        out = net_radiation.copy(data=pet)
+        out.attrs = {"units": "mm/d"}
+        out.name = "fao_allen98"
+        return out
+    return pet

@@ -16,12 +16,16 @@ from xclim_tpu.core.dataarray import ClimArray
 from xclim_tpu.core.units import convert_units_to, declare_units, str2pint
 
 __all__ = [
+    "distance_from_sun",
+    "jones_day_length_latitude_coefficient",
+    "time_correction_for_solar_angle",
     "cosine_of_solar_zenith_angle",
     "day_angle",
     "day_lengths",
     "eccentricity_correction_factor",
     "extraterrestrial_solar_radiation",
     "make_hourly_temperature",
+    "resample_map",
     "solar_declination",
     "wind_speed_height_conversion",
 ]
@@ -224,3 +228,103 @@ def gladstones_day_length_latitude_coefficient(time, lat,
                  np.asarray(dl.values) / np.asarray(pivot_n.values),
                  np.asarray(dl.values) / np.asarray(pivot_s.values))
     return _wrap_solar(k, time, lat, "", "k")
+
+
+def distance_from_sun(time) -> ClimArray:
+    """Sun-Earth distance in astronomical units
+    (xclim:indices/helpers.py:65; U.S. Naval Observatory almanac)."""
+    from xclim_tpu.core.calendar import date_to_ordinal
+
+    days_since = (time.ordinal - date_to_ordinal(2000, 1, 1, time.calendar)
+                  + (time.seconds_of_day - 43200.0) / 86400.0)
+    g = ((357.528 + 0.9856003 * days_since) % 360) * np.pi / 180
+    d = 1.00014 - 0.01671 * np.cos(g) - 0.00014 * np.cos(2.0 * g)
+    return ClimArray(jnp.asarray(d.astype(np.float32)), ("time",),
+                     {"time": time}, {"units": "au"}, "sun_earth_distance")
+
+
+def time_correction_for_solar_angle(time) -> ClimArray:
+    """Equation-of-time correction of the solar hour angle, in radians
+    (xclim:indices/helpers.py:166)."""
+    da = _day_angle(time)
+    tc_deg = (0.004297 + 0.107029 * np.cos(da) - 1.837877 * np.sin(da)
+              - 0.837378 * np.cos(2 * da) - 2.340475 * np.sin(2 * da))
+    tc = np.deg2rad(tc_deg)
+    tc = (tc + np.pi) % (2 * np.pi) - np.pi
+    return ClimArray(jnp.asarray(tc.astype(np.float32)), ("time",),
+                     {"time": time}, {"units": "rad"}, "time_correction")
+
+
+def jones_day_length_latitude_coefficient(time, lat,
+                                          method: str = "jones",
+                                          floor: bool = False,
+                                          start_date: str = "04-01",
+                                          end_date: str = "11-01",
+                                          freq: str = "YS"):
+    """Seasonal day-length latitude coefficient of Hall & Jones (2010)
+    (xclim:indices/helpers.py:688).
+
+    k_jones = 2.8311e-4 · Σ(day lengths over the season) + 0.30834;
+    'gladstones' applies the affine transformation 1.1135·k − 0.1352.
+    """
+    from xclim_tpu.core.calendar import parse_offset, resample_segments, select_time_mask
+    from xclim_tpu.ops.segments import segment_reduce
+
+    if parse_offset(freq) not in [(1, "Y", True, "JAN"), (1, "Y", True, "JUL")]:
+        raise NotImplementedError(
+            f"Freq {freq!r} not supported: must be annual (YS/YS-JAN/YS-JUL).")
+    dl = day_lengths(time, lat)
+    mask = select_time_mask(time, date_bounds=(start_date, end_date),
+                            include_bounds=(True, False))
+    # exclude the end date itself like the reference's include_bounds=(T, F)
+    shape = [1] * dl.ndim
+    shape[0] = len(time)
+    dlm = jnp.where(jnp.asarray(mask).reshape(shape), dl.data, 0.0)
+    spec = resample_segments(time, freq)
+    total = segment_reduce(dlm, spec, "sum", axis=0)  # (nyears, *lat)
+    k = 2.8311e-4 * total + 0.30834
+    if method == "gladstones":
+        k = 1.1135 * k - 0.1352
+    elif method != "jones":
+        raise NotImplementedError(method)
+    if floor:
+        k = jnp.maximum(k, 1.0)
+    out_dims = ("time",) + dl.dims[1:]
+    coords = {k2: v for k2, v in dl.coords.items() if k2 != "time"}
+    coords["time"] = spec.labels
+    return ClimArray(k, out_dims, coords, {"units": ""}, "k")
+
+
+def resample_map(obj, dim: str, freq: str, func, map_kwargs: dict | None = None):
+    """Apply `func` to each resampling period and re-concatenate
+    (xclim:indices/helpers.py:898).
+
+    The reference wraps dask ``map_blocks`` around ``resample().map()``; here
+    periods are static segments, so this is a host loop over period slices —
+    a compatibility shim for arbitrary per-period callables. Prefer the fused
+    ``resample(freq).op`` segment kernels for standard reductions.
+    """
+    from xclim_tpu.core.calendar import resample_segments
+    from xclim_tpu.core.dataarray import ClimArray, concat
+
+    if dim != "time":
+        raise NotImplementedError("resample_map only supports dim='time'.")
+    map_kwargs = map_kwargs or {}
+    spec = resample_segments(obj.time, freq)
+    outs = []
+    for k in range(spec.nseg):
+        s = int(spec.starts[k])
+        e = s + int(spec.counts[k])
+        sub = obj.isel(time=slice(s, e))
+        outs.append(func(sub, **map_kwargs))
+    first = outs[0]
+    if getattr(first, "time", None) is None:
+        # per-period scalars → new time axis of period labels
+        import jax.numpy as _jnp
+
+        data = _jnp.stack([o.data for o in outs], axis=0)
+        coords = {k2: v for k2, v in first.coords.items()}
+        coords["time"] = spec.labels
+        return ClimArray(data, ("time",) + first.dims, coords,
+                         dict(first.attrs), first.name)
+    return concat(outs, dim="time")
