@@ -193,3 +193,28 @@ def spatial_analogs(target: ClimArray, candidates: ClimArray,
                                   f"target, as measured by the {method} metric."},
                     method)
     return out
+
+
+def standardize(x, y):
+    """Standardize x and y jointly by their pooled mean/std
+    (xclim:analog.py)."""
+    both = jnp.concatenate([x, y], axis=0)
+    mu = jnp.nanmean(both, axis=0)
+    sd = jnp.nanstd(both, axis=0)
+    sd = jnp.where(sd == 0, jnp.nan, sd)
+    return (x - mu) / sd, (y - mu) / sd
+
+
+def metric(func):
+    """Register a function as a spatial-analog dissimilarity metric
+    (xclim:analog.py:metric decorator)."""
+    metrics[func.__name__] = func
+    return func
+
+
+def friedman_rafsky(x, y):
+    """Friedman-Rafsky multivariate runs test dissimilarity (host MST;
+    xclim:analog.py:389)."""
+    import numpy as _np
+
+    return _friedman_rafsky_host(_np.asarray(x), _np.asarray(y))

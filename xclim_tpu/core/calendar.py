@@ -1130,3 +1130,160 @@ def convert_calendar(da, target: str, align_on: str = "date", missing=None):
     coords = dict(da.coords)
     coords["time"] = new_time
     return ClimArray(out, da.dims, coords, dict(da.attrs), da.name)
+
+
+# ---------------------------------------------------------------------------
+# public aliases & small API helpers (reference export parity,
+# xclim core/calendar.py)
+# ---------------------------------------------------------------------------
+
+#: Type alias for 'MM-DD' day-of-year strings (xclim DayOfYearStr)
+DayOfYearStr = str
+
+#: Calendars with a constant year length (xclim core/calendar.py:108)
+uniform_calendars = ("noleap", "all_leap", "365_day", "366_day", "360_day")
+
+
+def ensure_cftime_array(time):
+    """Compatibility shim: this stack's TimeIndex already plays the role of a
+    cftime array; inputs are normalized to TimeIndex (xclim
+    core/calendar.py)."""
+    if isinstance(time, TimeIndex):
+        return time
+    arr = np.asarray(time)
+    if np.issubdtype(arr.dtype, np.datetime64):
+        return TimeIndex.from_datetime64(arr)
+    raise TypeError(f"Cannot interpret {type(time)} as a time index.")
+
+
+def is_offset_divisor(divisor: str, offset: str) -> bool:
+    """Whether a whole number of `divisor` periods fit in one `offset` period
+    (xclim core/calendar.py:629)."""
+    mult_d, base_d, _, anchor_d = parse_offset(divisor)
+    mult_o, base_o, _, anchor_o = parse_offset(offset)
+    order = {"s": 0, "min": 1, "h": 2, "D": 3, "W": 4, "M": 5, "Q": 6, "Y": 7}
+    bd = {"T": "min", "H": "h"}.get(base_d, base_d)
+    bo = {"T": "min", "H": "h"}.get(base_o, base_o)
+    if order[bd] > order[bo]:
+        return False
+    if bd in ("W", "M", "Q", "Y") or bo in ("W", "M", "Q", "Y"):
+        # calendar-based: month-multiple logic
+        months = {"M": 1, "Q": 3, "Y": 12}
+        if bd in months and bo in months:
+            return (months[bo] * mult_o) % (months[bd] * mult_d) == 0
+        if bd == "W":
+            return bo == "W" and mult_o % mult_d == 0
+        # fixed sub-month divisor into calendar offset: D/h/… divide any
+        # month-based period only if they divide a day
+        return freq_seconds(divisor) <= 86400 and \
+            (86400 % freq_seconds(divisor) == 0)
+    return freq_seconds(offset) % freq_seconds(divisor) == 0
+
+
+def within_bnds_doy(arr, *, low, high):
+    """True where values lie within per-doy bounds (xclim
+    core/calendar.py:934). `low`/`high` have a 'dayofyear' dim; they are
+    gathered onto arr's time axis."""
+    from xclim_tpu.core.dataarray import ClimArray
+
+    import jax.numpy as jnp
+
+    doy = arr.time.doy.astype(np.int64)
+
+    def _on_time(b):
+        bd = b.data if isinstance(b, ClimArray) else jnp.asarray(b)
+        doys = np.asarray(b.coords["dayofyear"]) if isinstance(b, ClimArray) \
+            else np.arange(1, bd.shape[0] + 1)
+        pos = np.searchsorted(doys, doy)
+        pos = np.clip(pos, 0, len(doys) - 1)
+        return jnp.take(bd, jnp.asarray(pos), axis=0)
+
+    lo = _on_time(low)
+    hi = _on_time(high)
+    shape = [1] * arr.ndim
+    shape[arr.time_axis] = len(arr.time)
+    x = arr.data
+    out = (x >= lo.reshape(lo.shape + (1,) * (x.ndim - lo.ndim))) & \
+          (x <= hi.reshape(hi.shape + (1,) * (x.ndim - hi.ndim)))
+    return ClimArray(out, arr.dims, dict(arr.coords), {}, "within_bnds")
+
+
+def convert_doy(source, target_cal: str, source_cal: str | None = None,
+                align_on: str = "year"):
+    """Convert day-of-year values between calendars (xclim
+    core/calendar.py convert_doy): proportional mapping of the doy onto the
+    target calendar's year length."""
+    from xclim_tpu.core.dataarray import ClimArray
+
+    import jax.numpy as jnp
+
+    vals = source.data if isinstance(source, ClimArray) else jnp.asarray(source)
+    if isinstance(source, ClimArray) and source.time is not None:
+        years = source.time.year
+        src_cal = source_cal or source.time.calendar
+        nd_src = jnp.asarray(days_in_year(years, src_cal).astype(np.float32))
+        nd_tgt = jnp.asarray(days_in_year(years, target_cal).astype(np.float32))
+        shape = [1] * vals.ndim
+        shape[source.time_axis] = len(years)
+        nd_src = nd_src.reshape(shape)
+        nd_tgt = nd_tgt.reshape(shape)
+    else:
+        src_cal = source_cal or "standard"
+        nd_src = float(max_doy(src_cal))
+        nd_tgt = float(max_doy(target_cal))
+    new = (vals - 0.5) / nd_src * nd_tgt + 0.5
+    if isinstance(source, ClimArray):
+        out = source.copy(data=new)
+        out.attrs = dict(source.attrs)
+        out.attrs["calendar"] = normalize_calendar(target_cal)
+        return out
+    return new
+
+
+def split_time_to_season_year(da, freq: str = "QS-DEC"):
+    """Reshape a quarterly series onto ('year', 'season') dims (xclim
+    core/calendar.py split_time_to_season_year)."""
+    from xclim_tpu.core.dataarray import ClimArray
+
+    import jax.numpy as jnp
+
+    labels = da.time
+    seas = labels.season
+    year = labels.year + (labels.month == 12).astype(np.int64)
+    seasons = np.array(["DJF", "MAM", "JJA", "SON"])
+    years = np.unique(year)
+    tbl = np.full((len(years), 4), -1, dtype=np.int64)
+    for i, (y, s) in enumerate(zip(year, seas)):
+        tbl[np.searchsorted(years, y), list(seasons).index(s)] = i
+    data = jnp.moveaxis(da.data, da.dims.index("time"), 0)
+    g = jnp.where((jnp.asarray(tbl) >= 0).reshape(tbl.shape + (1,) * (data.ndim - 1)),
+                  data[jnp.maximum(jnp.asarray(tbl), 0)], jnp.nan)
+    space_dims = tuple(d for d in da.dims if d != "time")
+    coords = {k: v for k, v in da.coords.items() if k in space_dims}
+    return ClimArray(g, ("year", "season") + space_dims,
+                     {"year": years, "season": seasons, **coords},
+                     dict(da.attrs), da.name)
+
+
+def add_season_coord(da):
+    """Attach a 'season' coordinate derived from the time axis (xclim
+    core/calendar.py add_season_coord)."""
+    out = da.copy()
+    out.coords["season"] = da.time.season
+    return out
+
+
+def select_time(da, drop: bool = False, **indexer):
+    """Select (or mask) the timesteps matched by the indexer — functional
+    form of ``ClimArray.select_time`` (xclim core/calendar.py:1259)."""
+    return da.select_time(drop=drop, **indexer)
+
+
+# doy-climatology API re-exports: these live in core/percentiles.py but the
+# reference exposes them from core.calendar (xclim core/calendar.py:396-907)
+from xclim_tpu.core.percentiles import (  # noqa: E402,F401
+    adjust_doy_calendar,
+    build_climatology_bounds,
+    percentile_doy,
+    resample_doy,
+)

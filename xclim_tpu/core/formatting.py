@@ -6,6 +6,8 @@ from __future__ import annotations
 import datetime as _dt
 import string
 import warnings
+
+import numpy as np
 from fnmatch import fnmatch
 from typing import Any, Sequence
 
@@ -172,3 +174,128 @@ def unprefix_attrs(source: dict, keys: Sequence[str], prefix: str) -> dict:
         elif k in keys and k not in out:
             out[k] = v
     return out
+
+
+def prefix_attrs(source: dict, keys, prefix: str) -> dict:
+    """Rename a set of attrs with a prefix (xclim:core/formatting.py)."""
+    out = {}
+    for k, v in source.items():
+        if k in keys:
+            out[f"{prefix}{k}"] = v
+        else:
+            out[k] = v
+    return out
+
+
+def unprefix_attrs(source: dict, keys, prefix: str) -> dict:
+    """Remove a prefix from a set of attrs (xclim:core/formatting.py)."""
+    n = len(prefix)
+    out = {}
+    for k, v in source.items():
+        if k.startswith(prefix) and k[n:] in keys:
+            out[k[n:]] = v
+        else:
+            out.setdefault(k, v)
+    return out
+
+
+def get_percentile_metadata(data, prefix: str) -> dict:
+    """Climatology metadata of a percentile array for description templating
+    (xclim:core/formatting.py): {prefix}_thresh / _window / _period."""
+    per = data.coords.get("percentiles")
+    if per is None:
+        per = data.attrs.get("percentiles", "")
+    clim = data.attrs.get("climatology_bounds", [])
+    return {
+        f"{prefix}_thresh": per,
+        f"{prefix}_window": data.attrs.get("window", ""),
+        f"{prefix}_period": "/".join(str(c) for c in np.atleast_1d(clim)),
+    }
+
+
+def parse_doc(doc: str | None) -> dict:
+    """Crude numpy-style docstring parser returning title/abstract/parameters
+    (xclim:core/formatting.py:239). The TPU build declares metadata
+    explicitly, so this is a compatibility helper for introspection."""
+    if not doc:
+        return {}
+    import textwrap
+
+    first, _, rest = doc.strip("\n").partition("\n")
+    lines = [first.strip()] + [ln.rstrip()
+                               for ln in textwrap.dedent(rest).split("\n")]
+    out = {"title": lines[0].strip() if lines else ""}
+    # abstract: everything until the first section header
+    body = []
+    i = 1
+    while i < len(lines) and not (i + 1 < len(lines)
+                                  and set(lines[i + 1].strip()) == {"-"}):
+        if lines[i].strip():
+            body.append(lines[i].strip())
+        i += 1
+    out["abstract"] = " ".join(body).strip()
+    # parameters section
+    params = {}
+    try:
+        pi = next(j for j, ln in enumerate(lines)
+                  if ln.strip() == "Parameters")
+        j = pi + 2
+        current = None
+        while j < len(lines):
+            ln = lines[j]
+            if ln and set(ln.strip()) == {"-"}:
+                break
+            if ln and not ln.startswith(" " * 4) and ":" in ln:
+                name = ln.split(":")[0].strip()
+                params[name] = {"description": ""}
+                current = name
+            elif current and ln.strip():
+                params[current]["description"] += (" " if params[current]["description"] else "") + ln.strip()
+            elif not ln.strip() and current:
+                pass
+            j += 1
+    except StopIteration:
+        pass
+    if params:
+        out["parameters"] = params
+    return out
+
+
+def generate_indicator_docstring(ind) -> str:
+    """Render an indicator's metadata as a numpy-style docstring
+    (xclim:core/formatting.py:701)."""
+    attrs = ind.cf_attrs[0]
+    lines = [ind.title or ind.identifier, ""]
+    if attrs.get("description"):
+        lines += [attrs["description"], ""]
+    lines += ["Parameters", "----------"]
+    for name, p in ind.parameters.items():
+        if getattr(p, "injected", False):
+            continue
+        kind = getattr(p.kind, "name", str(p.kind))
+        lines.append(f"{name} : {kind.lower()}")
+        desc = getattr(p, "description", "") or ""
+        if desc:
+            lines.append(f"    {desc}")
+    lines += ["", "Returns", "-------"]
+    for a in ind.cf_attrs:
+        lines.append(f"{a.get('var_name', ind.identifier)} : "
+                     f"[{a.get('units', '')}] {a.get('long_name', '')}")
+    return "\n".join(lines)
+
+
+def update_xclim_history(func):
+    """Decorator appending a call signature to the output's history attr
+    (xclim:core/formatting.py update_xclim_history)."""
+    import functools
+
+    @functools.wraps(func)
+    def wrapper(*args, **kwargs):
+        out = func(*args, **kwargs)
+        if hasattr(out, "attrs"):
+            call = gen_call_string(func.__name__, *args, **kwargs)
+            out.attrs["history"] = update_history(call, *[
+                a for a in args if hasattr(a, "attrs")], new_name=getattr(out, "name", None))
+        return out
+
+    return wrapper

@@ -238,3 +238,32 @@ def missing_pct(da: ClimArray, freq: str | None = None, src_timestep=None,
 def at_least_n_valid(da: ClimArray, freq: str | None = None, src_timestep=None,
                      n: int = 20, **indexer):
     return AtLeastNValid(n=n)(da, freq, src_timestep, **indexer)
+
+
+@register_missing_method("some_but_not_all")
+class MissingSomeButNotAll(MissingBase):
+    """Period invalid if some but not all of its steps are missing
+    (xclim:core/missing.py:326)."""
+
+    def is_missing(self, valid, count, spec, ax):
+        nvalid = self._nvalid(valid, spec, ax)
+        c = self._count_arr(count, spec, ax, valid.ndim)
+        return ~((nvalid == c) | (nvalid == 0))
+
+
+def missing_some_but_not_all(da: ClimArray, freq: str | None = None,
+                             src_timestep=None, **indexer):
+    return MissingSomeButNotAll()(da, freq, src_timestep, **indexer)
+
+
+def missing_from_context(da: ClimArray, freq: str | None = None,
+                         src_timestep=None, **indexer):
+    """Mask periods missing according to the globally configured method
+    (OPTIONS['check_missing']; xclim:core/missing.py)."""
+    from xclim_tpu.core.options import (CHECK_MISSING, MISSING_METHODS,
+                                        MISSING_OPTIONS, OPTIONS)
+
+    method = OPTIONS[CHECK_MISSING]
+    cls = MISSING_METHODS[method]
+    opts = OPTIONS[MISSING_OPTIONS].get(method, {})
+    return cls(**opts)(da, freq, src_timestep, **indexer)

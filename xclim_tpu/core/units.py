@@ -24,16 +24,19 @@ __all__ = [
     "Units",
     "amount2lwethickness",
     "amount2rate",
+    "cf_conversion",
     "check_units",
     "convert_units_to",
     "declare_units",
     "declare_relative_units",
+    "ensure_absolute_temperature",
     "ensure_cf_units",
     "ensure_delta",
     "flux2rate",
     "infer_context",
     "infer_sampling_units",
     "lwethickness2amount",
+    "pint_multiply",
     "pint2cfattrs",
     "pint2cfunits",
     "rate2amount",
@@ -773,5 +776,72 @@ def flux2rate(flux, density, out_units: str | None = None):
     out.attrs = dict(flux.attrs)
     out.attrs["units"] = u.to_cf()
     if out_units:
+        out = convert_units_to(out, out_units)
+    return out
+
+
+# CF standard-name transformations per conversion family (the reference loads
+# these from data/variables.yml `conversions:`; xclim core/units.py:454)
+CF_CONVERSIONS = {
+    "amount2rate": {
+        "prefix": {"to": "", "from": ""},
+        "rules": [
+            ("lwe_thickness_of_", "lwe_", "rate"),
+            ("thickness_of_", "", "rate"),
+            ("_amount", "_flux", None),
+        ],
+    },
+    "amount2lwethickness": {},
+}
+
+
+def cf_conversion(standard_name: str, conversion: str, direction: str):
+    """Standard name after applying a CF conversion, or None when the CF
+    vocabulary defines no counterpart (xclim core/units.py:454)."""
+    pairs = {
+        "amount2rate": [("precipitation_amount", "precipitation_flux"),
+                        ("lwe_thickness_of_precipitation_amount",
+                         "lwe_precipitation_rate"),
+                        ("snowfall_amount", "snowfall_flux"),
+                        ("surface_runoff_amount", "surface_runoff_flux")],
+        "amount2lwethickness": [("precipitation_amount",
+                                 "lwe_thickness_of_precipitation_amount"),
+                                ("snowfall_amount",
+                                 "lwe_thickness_of_snowfall_amount")],
+    }.get(conversion, [])
+    for frm, to in pairs:
+        if direction == "to" and standard_name == frm:
+            return to
+        if direction == "from" and standard_name == to:
+            return frm
+    return None
+
+
+def ensure_absolute_temperature(units):
+    """Convert delta/relative temperature units to their absolute counterpart
+    ('delta_degC'/'degC' → 'K'; xclim core/units.py)."""
+    u = str(units)
+    if "delta_" in u:
+        u = u.replace("delta_", "")
+    p = parse_units(u)
+    if p.dims == _dv(K=1) and p.offset != 0.0:
+        return "K"
+    return u
+
+
+def pint_multiply(da, q, out_units: str | None = None):
+    """Multiply a ClimArray by a quantified scalar, tracking units
+    (xclim core/units.py)."""
+    qty = str2pint(q) if isinstance(q, str) else q
+    scale = qty.magnitude if hasattr(qty, "magnitude") else float(qty)
+    u_in = parse_units(da.attrs.get("units", ""))
+    u_q = qty.units if hasattr(qty, "units") else DIMENSIONLESS
+    new_dims = tuple(a + b for a, b in zip(u_in.dims, u_q.dims))
+    out = da.copy(data=da.data * (scale * u_q.scale / 1.0))
+    out.attrs = dict(da.attrs)
+    new_units = Units(scale=u_in.scale, offset=0.0, dims=new_dims,
+                      symbols=u_in.symbols)
+    out.attrs["units"] = pint2cfunits(new_units) if out_units is None else out_units
+    if out_units is not None:
         out = convert_units_to(out, out_units)
     return out
