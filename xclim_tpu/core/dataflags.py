@@ -296,3 +296,13 @@ def ecad_compliant(ds: ClimDataset, dims="all", raise_flags: bool = False,
             out["ecad_qc_flag"] = ecad
         return out
     return ecad
+
+
+@register_methods()
+@declare_units(da="[discharge]/[area]", thresh="[precipitation]")
+def specific_discharge_extremely_high(da: ClimArray, *,
+                                      thresh: str = "100 mm d-1") -> ClimArray:
+    """Specific discharge above 100 mm/day (xclim:core/dataflags.py:823)."""
+    t = convert_units_to(str2pint(thresh), da, context="hydro")
+    return _flag(da, da.data > t, "specific_discharge_extremely_high",
+                 f"Specific discharge values found above {thresh}.")

@@ -700,3 +700,38 @@ def _wrap_input_map(compute: Callable, input_map: dict):
     wrapped.__signature__ = sig.replace(parameters=new_params)
     wrapped.in_units = getattr(compute, "in_units", {})
     return wrapped
+
+
+class IndicatorRegistrar:
+    """Compatibility alias: in the reference this mixin performs registration
+    (xclim:core/indicator.py:281); here registration happens in
+    :meth:`Indicator.__init__`, so this simply exposes the same surface."""
+
+    @classmethod
+    def get_instance(cls):
+        for ind in registry.values():
+            if type(ind) is cls:
+                return ind
+        raise ValueError(f"No instance of {cls.__name__} registered.")
+
+
+class StandardizedIndexes(ResamplingIndicator):
+    """Resampling indicator for standardized indexes (SPI/SPEI family;
+    xclim:core/indicator.py:1961)."""
+
+    realm = "atmos"
+    missing = "skip"
+
+
+def add_iter_indicators(module):
+    """Add an ``iter_indicators`` generator to a virtual indicator module
+    (xclim:core/indicator.py:1682)."""
+    if not hasattr(module, "iter_indicators"):
+        def iter_indicators():
+            for name in getattr(module, "__all__", dir(module)):
+                obj = getattr(module, name, None)
+                if isinstance(obj, Indicator):
+                    yield name, obj
+
+        module.iter_indicators = iter_indicators
+    return module

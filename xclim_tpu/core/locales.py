@@ -15,6 +15,8 @@ from xclim_tpu.core.formatting import AttrFormatter
 __all__ = [
     "TRANSLATABLE_ATTRS",
     "get_local_attrs",
+    "get_local_dict",
+    "generate_local_dict",
     "get_local_formatter",
     "list_locales",
     "load_locale",
@@ -95,3 +97,38 @@ def _load_builtin_locales():
 
 
 _load_builtin_locales()
+
+
+def get_local_dict(locale):
+    """(locale_name, full translation dict) for a locale; accepts a tag, a
+    (tag, dict) tuple or a (tag, path-to-json) tuple
+    (xclim:core/locales.py:104)."""
+    if isinstance(locale, (list, tuple)) and len(locale) == 2:
+        tag, src = locale
+        if isinstance(src, dict):
+            return tag, src
+        return tag, read_locale_file(src)
+    return locale, dict(_get_loc(locale))
+
+
+def generate_local_dict(locale: str, init_english: bool = False) -> dict:
+    """Skeleton translation dict with an entry per registered indicator
+    (xclim:core/locales.py:300)."""
+    from xclim_tpu.core.indicator import registry
+
+    try:
+        _, existing = get_local_dict(locale)
+    except UnavailableLocaleError:
+        existing = {}
+    out = {"attrs_mapping": existing.get("attrs_mapping",
+                                         {"modifiers": [""]})}
+    for key, ind in registry.items():
+        rid = ind._registry_id
+        entry = dict(existing.get(rid, {}))
+        for attr in TRANSLATABLE_ATTRS:
+            if attr not in entry:
+                val = ind.cf_attrs[0].get(attr, getattr(ind, attr, None)) \
+                    if attr != "title" else ind.title
+                entry[attr] = (val or "") if init_english else ""
+        out[rid] = entry
+    return out

@@ -117,3 +117,14 @@ def cfcheck(func):
         return None
 
     return wrapper
+
+
+def run_check(func, option, *args, **kwargs):
+    """Run a check function, handling the raise/warn/log behavior configured
+    for `option` (xclim:core/options.py run_check)."""
+    from xclim_tpu.core._exceptions import ValidationError, raise_warn_or_log
+
+    try:
+        func(*args, **kwargs)
+    except ValidationError as err:
+        raise_warn_or_log(err, OPTIONS[option], err_type=ValidationError)
