@@ -228,3 +228,42 @@ class TestPercentileDoyTable:
         t = date_range("2000-01-01", end="2001-12-31", freq="D", calendar="noleap")
         table, doys = percentile_doy_table(t, window=3)
         assert table.shape == (365, 2 * 3)
+
+
+class TestResampleFuzz:
+    """Randomized cross-check of segment reductions against a pure-numpy
+    per-period groupby, across frequencies and calendars."""
+
+    @pytest.mark.parametrize("freq", ["MS", "YS", "QS-DEC", "2MS", "W",
+                                      "YS-JUL", "7D"])
+    @pytest.mark.parametrize("calendar", ["standard", "noleap", "360_day"])
+    def test_sum_mean_max_match_numpy(self, freq, calendar):
+        import jax.numpy as jnp
+
+        from xclim_tpu.core.dataarray import ClimArray
+
+        rng = np.random.default_rng(hash((freq, calendar)) % 2**32)
+        n = 700
+        t = date_range("2000-03-15", periods=n, freq="D", calendar=calendar)
+        v = rng.normal(0, 10, n).astype(np.float32)
+        v[rng.random(n) < 0.05] = np.nan
+        da = ClimArray(jnp.asarray(v), ("time",), {"time": t},
+                       {"units": "K"}, "x")
+        spec = resample_segments(t, freq)
+        seg = np.asarray(spec.seg_id)
+        for op, npop in [("sum", np.nansum), ("mean", np.nanmean),
+                         ("max", np.nanmax), ("min", np.nanmin)]:
+            got = np.asarray(getattr(da.resample(freq), op)().data)
+            want = np.full(spec.nseg, np.nan, np.float32)
+            import warnings as _w
+
+            with _w.catch_warnings():
+                _w.simplefilter("ignore")
+                for g in range(spec.nseg):
+                    vals = v[seg == g]
+                    if np.isfinite(vals).any():
+                        want[g] = npop(vals)
+                    elif op == "sum":
+                        want[g] = 0.0
+            np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-4,
+                                       err_msg=f"{freq}/{calendar}/{op}")
