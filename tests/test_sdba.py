@@ -308,3 +308,43 @@ class TestMultiDimSpace:
                      nquantiles=15, kind="+").adjust(h1)
         np.testing.assert_array_equal(np.asarray(o1.data),
                                       np.asarray(out.data)[:, 1, 2])
+
+
+class TestOTC:
+    def _data(self):
+        rng = np.random.default_rng(0)
+        n = 1500
+        t = date_range("1990-01-01", periods=n, freq="D", calendar="noleap")
+        L = np.linalg.cholesky([[1, 0.7], [0.7, 1]])
+        refm = (L @ rng.normal(0, 1, (2, n))
+                + np.array([[10.0], [5.0]])).astype(np.float32)
+        histm = (rng.normal(0, 1.5, (2, n))
+                 + np.array([[12.0], [3.0]])).astype(np.float32)
+
+        def mk(m, nm):
+            return ClimArray(jnp.asarray(m), ("multivar", "time"),
+                             {"time": t, "multivar": np.array(["a", "b"])},
+                             {"units": ""}, nm)
+
+        return refm, histm, mk
+
+    def test_otc_matches_ref_distribution(self):
+        from xclim_tpu.sdba import OTC
+
+        refm, histm, mk = self._data()
+        adj = OTC.adjust(mk(refm, "ref"), mk(histm, "hist"), max_points=512)
+        a = np.asarray(adj.data)
+        np.testing.assert_allclose(a.mean(1), refm.mean(1), atol=0.15)
+        np.testing.assert_allclose(np.corrcoef(a)[0, 1],
+                                   np.corrcoef(refm)[0, 1], atol=0.1)
+
+    def test_dotc_preserves_change_signal(self):
+        from xclim_tpu.sdba import dOTC
+
+        refm, histm, mk = self._data()
+        sim = mk(histm + 1.0, "sim")
+        adj = dOTC.adjust(mk(refm, "ref"), mk(histm, "hist"), sim,
+                          max_points=512)
+        a = np.asarray(adj.data)
+        # base distribution mapped to ref, plus (roughly) the +1 delta
+        np.testing.assert_allclose(a.mean(1), refm.mean(1) + 1.0, atol=0.5)

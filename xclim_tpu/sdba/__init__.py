@@ -12,5 +12,6 @@ from xclim_tpu.sdba.adjustment import (  # noqa: F401
     npdf_transform,
 )
 from xclim_tpu.sdba import measures, processing, properties  # noqa: F401
+from xclim_tpu.sdba._otc import OTC, dOTC, optimal_transport_plan  # noqa: F401
 from xclim_tpu.sdba.grouping import Grouper  # noqa: F401
 from xclim_tpu.sdba.utils import equally_spaced_nodes  # noqa: F401
