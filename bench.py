@@ -247,16 +247,26 @@ def main():
 # ---------------------------------------------------------------------------
 
 
+def _sync_scalar(o):
+    """Force completion with a device-side slice + scalar fetch (a full
+    np.asarray would drag the whole output through the tunnel and time the
+    transfer, not the compute)."""
+    import jax.numpy as jnp
+
+    d = o.data if hasattr(o, "data") else o
+    return float(jnp.ravel(d)[0])
+
+
 def _time_climarray(fn, *args, reps=1, **kwargs):
     """Warm (compile) + timed call of a ClimArray-level function."""
     r = fn(*args, **kwargs)
     for o in (r if isinstance(r, (tuple, list)) else [r]):
-        np.asarray(o.data if hasattr(o, "data") else o)[..., :1]
+        _sync_scalar(o)
     t0 = time.perf_counter()
     for _ in range(reps):
         r = fn(*args, **kwargs)
         for o in (r if isinstance(r, (tuple, list)) else [r]):
-            np.asarray(o.data if hasattr(o, "data") else o)[..., :1]
+            _sync_scalar(o)
     return (time.perf_counter() - t0) / reps
 
 
@@ -344,10 +354,10 @@ def bench_all():
             return adj.adjust(hist)
 
         out = qdm_once()
-        np.asarray(out.data)[..., :1]
+        _sync_scalar(out)
         t0 = time.perf_counter()
         out = qdm_once()
-        np.asarray(out.data)[..., :1]
+        _sync_scalar(out)
         dt = time.perf_counter() - t0
         results.append({"config": "QDM train+adjust doy w31 nq50 1024 cells 30y",
                         "value": round(30 * 365 * 32 * 32 / dt, 1),
@@ -375,8 +385,8 @@ def bench_all():
             return p, rf["changed"]
 
         def sync(p, c):
-            np.asarray(next(iter(p.values())).data)[..., :1]
-            np.asarray(c.data)[..., :1]
+            _sync_scalar(next(iter(p.values())))
+            _sync_scalar(c)
 
         p, c = ens_once()
         sync(p, c)
