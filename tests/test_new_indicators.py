@@ -157,3 +157,19 @@ class TestLandIndicators:
         # one slope over the annual means; strongly positive trend
         assert float(np.asarray(s.data)) > 0
         assert float(np.asarray(p.data)) <= 1.0
+
+
+class TestHourlyChill:
+    def test_chill_portions_and_units_from_hourly(self):
+        from xclim_tpu.indices.helpers import make_hourly_temperature
+
+        rng = np.random.default_rng(0)
+        n = 365
+        tn = series(rng.normal(2, 3, n) + 273.15, "tasmin", "K")
+        tx = series(rng.normal(12, 3, n) + 273.15, "tasmax", "K")
+        hourly = make_hourly_temperature(tn, tx)
+        assert hourly.time.infer_freq() == "h"
+        cp = atmos.cp(tas=hourly, freq="YS")
+        cu = atmos.cu(tas=hourly, freq="YS")
+        assert float(np.asarray(cp.data)[0]) > 50  # substantial chill accum.
+        assert float(np.asarray(cu.data)[0]) > 500
