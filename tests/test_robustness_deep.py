@@ -1,0 +1,154 @@
+"""Deeper ensembles-robustness and partitioning tests
+(reference behaviors: xclim:src/xclim/ensembles/_robustness.py,
+_partitioning.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xclim_tpu.core.calendar import date_range
+from xclim_tpu.core.dataarray import ClimArray, concat
+
+
+def _ens(nreal, n, mean_shift=0.0, seed=0, start="2000-01-01"):
+    rng = np.random.default_rng(seed)
+    t = date_range(start, periods=n, freq="D", calendar="noleap")
+    members = []
+    for i in range(nreal):
+        v = (rng.normal(280 + mean_shift, 2, n)).astype(np.float32)
+        members.append(ClimArray(jnp.asarray(v), ("time",), {"time": t},
+                                 {"units": "K"}, "tas"))
+    return concat(members, dim="realization")
+
+
+class TestRobustnessTests:
+    @pytest.mark.parametrize("test", ["ttest", "welch-ttest",
+                                      "mannwhitney-utest"])
+    def test_significant_change_detected(self, test):
+        from xclim_tpu.ensembles import robustness_fractions
+
+        hist = _ens(12, 200, mean_shift=0.0, seed=1)
+        fut = _ens(12, 200, mean_shift=3.0, seed=2)  # strong warming
+        fr = robustness_fractions(fut, hist, test=test)
+        assert float(np.asarray(fr["changed"].data)) > 0.9
+
+    def test_brownforsythe_detects_variance_change(self):
+        # Brown-Forsythe tests equality of variances, not means
+        from xclim_tpu.ensembles import robustness_fractions
+
+        rng = np.random.default_rng(9)
+        t = date_range("2000-01-01", periods=200, freq="D",
+                       calendar="noleap")
+
+        def ens(std, seed):
+            r = np.random.default_rng(seed)
+            return concat([ClimArray(
+                jnp.asarray(r.normal(280, std, 200).astype(np.float32)),
+                ("time",), {"time": t}, {"units": "K"}, "tas")
+                for _ in range(12)], dim="realization")
+
+        fr = robustness_fractions(ens(6.0, 1), ens(2.0, 2),
+                                  test="brownforsythe-test")
+        assert float(np.asarray(fr["changed"].data)) > 0.9
+
+    @pytest.mark.parametrize("test", ["ttest", "welch-ttest", "mannwhitney-utest",
+                                      "brownforsythe-test"])
+    def test_no_change_not_detected(self, test):
+        from xclim_tpu.ensembles import robustness_fractions
+
+        hist = _ens(12, 200, mean_shift=0.0, seed=3)
+        fut = _ens(12, 200, mean_shift=0.0, seed=4)
+        fr = robustness_fractions(fut, hist, test=test)
+        assert float(np.asarray(fr["changed"].data)) < 0.4
+
+    def test_sign_agreement(self):
+        from xclim_tpu.ensembles import robustness_fractions
+
+        hist = _ens(10, 200, 0.0, seed=5)
+        fut = _ens(10, 200, 5.0, seed=6)
+        fr = robustness_fractions(fut, hist, test="ttest")
+        assert float(np.asarray(fr["positive"].data)) > 0.9
+        assert float(np.asarray(fr["agree"].data)) > 0.9
+
+    def test_robustness_categories(self):
+        from xclim_tpu.ensembles import (robustness_categories,
+                                         robustness_fractions)
+
+        hist = _ens(10, 200, 0.0, seed=7)
+        fut = _ens(10, 200, 5.0, seed=8)
+        fr = robustness_fractions(fut, hist, test="ttest")
+        cat = robustness_categories(fr)
+        # robust significant change → category 1 ("robust change")
+        assert int(np.asarray(cat.data)) == 1
+
+
+class TestPartitioning:
+    def _cube(self):
+        # (time=yearly, scenario, model) mean temperature trajectories
+        rng = np.random.default_rng(0)
+        years = 30
+        t = date_range("2000-01-01", periods=years, freq="YS",
+                       calendar="noleap")
+        scen_trend = np.array([0.02, 0.04, 0.08])  # K/yr per scenario
+        data = np.zeros((years, 3, 4), np.float32)
+        for s in range(3):
+            for m in range(4):
+                data[:, s, m] = (280 + m * 0.5
+                                 + scen_trend[s] * np.arange(years)
+                                 + rng.normal(0, 0.05, years))
+        return ClimArray(jnp.asarray(data), ("time", "scenario", "model"),
+                         {"time": t, "scenario": np.array(["a", "b", "c"]),
+                          "model": np.arange(4)}, {"units": "K"}, "tas")
+
+    def test_hawkins_sutton_components_sum_to_total(self):
+        from xclim_tpu.ensembles import hawkins_sutton
+
+        mean, var = hawkins_sutton(self._cube())
+        u = list(var.coords["uncertainty"])
+        frac = np.asarray(var.data)
+        uax = var.dims.index("uncertainty")
+        parts = sum(np.take(frac, u.index(k), axis=uax)
+                    for k in ("variability", "model", "scenario"))
+        total = np.take(frac, u.index("total"), axis=uax)
+        np.testing.assert_allclose(parts[-5:], total[-5:], rtol=1e-3)
+
+    def test_scenario_uncertainty_grows(self):
+        from xclim_tpu.ensembles import hawkins_sutton
+
+        mean, var = hawkins_sutton(self._cube())
+        u = list(var.coords["uncertainty"])
+        si = u.index("scenario")
+        frac = np.asarray(var.data)
+        tax = var.dims.index("time")
+        s_frac = np.take(frac, si, axis=var.dims.index("uncertainty"))
+        # scenario spread dominates late century vs early
+        assert s_frac[-1] > s_frac[2]
+
+
+class TestReduction:
+    def test_kkz_selects_extremes(self):
+        from xclim_tpu.ensembles import kkz_reduce_ensemble
+
+        rng = np.random.default_rng(0)
+        crit = ClimArray(
+            jnp.asarray(rng.normal(0, 1, (20, 3)).astype(np.float32)),
+            ("realization", "criteria"),
+            {"realization": np.arange(20), "criteria": np.arange(3)},
+            {}, "crit")
+        sel = kkz_reduce_ensemble(crit, num_select=5)
+        assert len(sel) == 5
+        assert len(set(sel)) == 5
+
+    def test_kmeans_reduces(self):
+        from xclim_tpu.ensembles import kmeans_reduce_ensemble
+
+        rng = np.random.default_rng(1)
+        crit = ClimArray(
+            jnp.asarray(rng.normal(0, 1, (20, 3)).astype(np.float32)),
+            ("realization", "criteria"),
+            {"realization": np.arange(20), "criteria": np.arange(3)},
+            {}, "crit")
+        sel, clusters, fig_data = kmeans_reduce_ensemble(
+            crit, method={"n_clusters": 4}, random_state=0, make_graph=False)
+        assert len(sel) == 4
