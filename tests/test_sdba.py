@@ -348,3 +348,37 @@ class TestOTC:
         a = np.asarray(adj.data)
         # base distribution mapped to ref, plus (roughly) the +1 delta
         np.testing.assert_allclose(a.mean(1), refm.mean(1) + 1.0, atol=0.5)
+
+
+class TestTrainedStatePersistence:
+    @pytest.mark.parametrize("method,kw", [
+        ("EmpiricalQuantileMapping", {"nquantiles": 20, "kind": "+"}),
+        ("QuantileDeltaMapping", {"nquantiles": 20, "kind": "+"}),
+        ("Scaling", {"kind": "+"}),
+        ("LOCI", {"thresh": "1 mm/d"}),
+    ])
+    def test_save_load_roundtrip(self, method, kw, tmp_path):
+        import xclim_tpu.sdba as sdba
+
+        rng = np.random.default_rng(0)
+        t = date_range("2000-01-01", periods=730, freq="D",
+                       calendar="noleap")
+
+        def mk(seed, units="K"):
+            r = np.random.default_rng(seed)
+            v = np.abs(r.normal(5, 2, 730)).astype(np.float32) \
+                if units == "mm/d" else r.normal(280, 5, 730).astype(np.float32)
+            return ClimArray(jnp.asarray(v), ("time",), {"time": t},
+                             {"units": units}, "v")
+
+        units = "mm/d" if method == "LOCI" else "K"
+        M = getattr(sdba, method)
+        ref, hist = mk(0, units), mk(1, units)
+        adj = M.train(ref, hist, group="time.month", **kw)
+        out1 = adj.adjust(hist)
+        p = tmp_path / "state.npz"
+        adj.save(p)
+        adj2 = M.load(p)
+        out2 = adj2.adjust(hist)
+        np.testing.assert_array_equal(np.asarray(out1.data),
+                                      np.asarray(out2.data))

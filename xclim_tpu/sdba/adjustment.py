@@ -534,3 +534,54 @@ def npdf_transform(ref: ClimArray, hist: ClimArray, sim: ClimArray = None,
     if return_escores:
         return hist_adj, sim_adj, escores
     return hist_adj, sim_adj
+
+
+# ---------------------------------------------------------------------------
+# trained-state persistence (SURVEY §5 checkpoint/resume: "trained adjustment
+# datasets Adj.ds ... keep these as explicit, serializable state objects")
+# ---------------------------------------------------------------------------
+
+
+def _save_trained(obj: TrainAdjust, path):
+    """Serialize a trained adjustment object to ``.npz``."""
+    meta = {"__class__": type(obj).__name__,
+            "__group__": obj.group.group,
+            "__window__": obj.group.window,
+            "__kind__": getattr(obj, "kind", "+"),
+            "__train_units__": getattr(obj, "train_units", "")}
+    extra = {}
+    for attr in ("thresh", "cluster_thresh"):
+        if hasattr(obj, attr):
+            extra[f"__{attr}__"] = np.float64(getattr(obj, attr))
+    arrays = {k: np.asarray(v) for k, v in obj.ds.items()}
+    np.savez(path, __meta__=np.array([repr(meta)], dtype=object),
+             **extra, **arrays)
+
+
+def _load_trained(path):
+    """Load a trained adjustment object saved with ``.save()``."""
+    import ast
+
+    data = np.load(path, allow_pickle=True)
+    meta = ast.literal_eval(str(data["__meta__"][0]))
+    cls = {c.__name__: c for c in
+           (EmpiricalQuantileMapping, DetrendedQuantileMapping,
+            QuantileDeltaMapping, Scaling, LOCI,
+            ExtremeValues)}[meta["__class__"]]
+    ds = {}
+    params = {"group": Grouper(meta["__group__"], meta["__window__"]),
+              "kind": meta["__kind__"]}
+    for k in data.files:
+        if k == "__meta__":
+            continue
+        if k.startswith("__") and k.endswith("__"):
+            params[k.strip("_")] = float(data[k])
+        else:
+            ds[k] = jnp.asarray(data[k])
+    obj = cls(ds, **params)
+    obj.train_units = meta["__train_units__"]
+    return obj
+
+
+TrainAdjust.save = _save_trained
+TrainAdjust.load = classmethod(lambda cls, path: _load_trained(path))
