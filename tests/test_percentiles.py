@@ -194,3 +194,58 @@ class TestBootstrapTopkPath:
         finally:
             B.USE_TOPK_KERNEL = True
         np.testing.assert_array_equal(r_topk, r_dense)
+
+
+class TestBootstrapVsNumpyReference:
+    """End-to-end tx90p-with-bootstrap against an independent pure-numpy
+    implementation of the reference algorithm (xclim:core/bootstrapping.py:
+    81-212 semantics: per in-base year, replace by each other year, recompute
+    the doy-window percentile, recompute the index, average)."""
+
+    def test_within_1e6(self):
+        import jax.numpy as jnp
+
+        from xclim_tpu.core.calendar import date_range, percentile_doy_table
+        from xclim_tpu.core.dataarray import ClimArray
+        from xclim_tpu.core.percentiles import percentile_doy
+        from xclim_tpu.indices import tx90p
+
+        nyears, window = 6, 5
+        rng = np.random.default_rng(42)
+        time = date_range("2001-01-01", end=f"{2000 + nyears}-12-31",
+                          freq="D", calendar="noleap")
+        T = len(time)
+        x = rng.normal(295.0, 5.0, T).astype(np.float32)
+        da = ClimArray(jnp.asarray(x), ("time",), {"time": time},
+                       {"units": "K"}, "tasmax")
+
+        # --- framework result (all years in-base → all bootstrapped) ---
+        per = percentile_doy(da, window=window, per=90.0)
+        got = np.asarray(tx90p(tasmax=da, tasmax_per=per, freq="YS",
+                               bootstrap=True).data).squeeze()
+
+        # --- independent numpy implementation ---
+        table, doys = percentile_doy_table(time, window=window)
+        n_doy = len(doys)
+        tbl = table.reshape(n_doy, nyears, window)
+        D = np.where(tbl >= 0, x[np.maximum(tbl, 0)], np.nan)
+        year_of = time.year - time.year[0]
+        doy_idx = time.doy - 1
+        want = np.zeros(nyears)
+        for b in range(nyears):
+            counts = []
+            for o in range(nyears):
+                if o == b:
+                    continue
+                Dmod = D.copy()
+                Dmod[:, b] = D[:, o]
+                per_bo = np.nanquantile(Dmod.reshape(n_doy, -1), 0.9,
+                                        axis=1, method="median_unbiased")
+                thresh = per_bo[doy_idx]
+                in_b = year_of == b
+                counts.append(((x > thresh) & in_b).sum())
+            want[b] = np.mean(counts)
+
+        np.testing.assert_allclose(got, want, atol=1e-4)  # float32 inputs
+        # and to much tighter tolerance relative to the count magnitude
+        np.testing.assert_allclose(got / 365.0, want / 365.0, atol=1e-6)
