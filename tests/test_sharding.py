@@ -1,0 +1,81 @@
+"""Sharded execution correctness: indicator pipelines under NamedSharding on
+a virtual 8-device mesh must match unsharded results exactly
+(SURVEY §9: spatial data-parallelism over a (lat, lon) mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from xclim_tpu.core.calendar import date_range
+from xclim_tpu.core.dataarray import ClimArray
+
+
+@pytest.fixture
+def mesh():
+    from xclim_tpu.parallel import space_mesh
+
+    return space_mesh()
+
+
+def _grid(shape=(730, 4, 4)):
+    rng = np.random.default_rng(0)
+    t = date_range("2001-01-01", periods=shape[0], freq="D",
+                   calendar="noleap")
+    v = rng.normal(295, 8, shape).astype(np.float32)
+    return t, v
+
+
+class TestShardedIndicators:
+    def test_mesh_shape(self, mesh):
+        assert len(mesh.devices.flatten()) == len(jax.devices())
+        assert set(mesh.axis_names) == {"lat", "lon"}
+
+    def test_threshold_count_sharded_equals_unsharded(self, mesh):
+        from xclim_tpu.indices import tx_days_above
+
+        t, v = _grid()
+        da = ClimArray(jnp.asarray(v), ("time", "lat", "lon"),
+                       {"time": t, "lat": np.arange(4), "lon": np.arange(4)},
+                       {"units": "K"}, "tasmax")
+        base = np.asarray(tx_days_above(da, thresh="300 K", freq="YS").data)
+        sharding = NamedSharding(mesh, P(None, "lat", "lon"))
+        ds = da.copy(data=jax.device_put(da.data, sharding))
+        out = tx_days_above(ds, thresh="300 K", freq="YS")
+        np.testing.assert_array_equal(np.asarray(out.data), base)
+        # output stays sharded over space
+        assert len(out.data.sharding.device_set) == len(jax.devices())
+
+    def test_percentile_pipeline_sharded(self, mesh):
+        from xclim_tpu.core.percentiles import percentile_doy
+        from xclim_tpu.indices import tx90p
+
+        t, v = _grid((365 * 4, 4, 4))
+        da = ClimArray(jnp.asarray(v), ("time", "lat", "lon"),
+                       {"time": t, "lat": np.arange(4), "lon": np.arange(4)},
+                       {"units": "K"}, "tasmax")
+        per = percentile_doy(da, per=90.0)
+        base = np.asarray(tx90p(tasmax=da, tasmax_per=per, freq="YS").data)
+        sharding = NamedSharding(mesh, P(None, "lat", "lon"))
+        ds = da.copy(data=jax.device_put(da.data, sharding))
+        per_s = percentile_doy(ds, per=90.0)
+        out = np.asarray(tx90p(tasmax=ds, tasmax_per=per_s, freq="YS").data)
+        np.testing.assert_array_equal(out, base)
+
+    def test_sharded_jit_wrapper(self, mesh):
+        from xclim_tpu.parallel import shard_space, sharded_jit
+
+        t, v = _grid()
+        da = ClimArray(jnp.asarray(v), ("time", "lat", "lon"),
+                       {"time": t, "lat": np.arange(4), "lon": np.arange(4)},
+                       {"units": "K"}, "tas")
+        ds = shard_space(da, mesh)
+        assert len(ds.data.sharding.device_set) == len(jax.devices())
+
+        def step(x):
+            return x.mean(axis=0)
+
+        f = sharded_jit(step, mesh)
+        out = np.asarray(f(ds.data))
+        np.testing.assert_allclose(out, np.asarray(v).mean(0), rtol=1e-6)

@@ -37,14 +37,24 @@ def space_mesh(n_devices: int | None = None, shape: tuple[int, int] | None = Non
 
 def shard_space(x, mesh: Mesh, time_axis: int | None = 0):
     """Place an array with dims (time, lat, lon) (or (lat, lon)) on the mesh,
-    sharding the two trailing spatial axes."""
+    sharding the two trailing spatial axes. Accepts raw arrays or ClimArrays
+    (returned re-wrapped with sharded data)."""
+    wrapper = None
+    if hasattr(x, "data") and hasattr(x, "copy"):
+        wrapper = x
+        x = x.data
     if x.ndim >= 3:
         spec = P(*([None] * (x.ndim - 2)), "lat", "lon")
     elif x.ndim == 2:
         spec = P("lat", "lon")
     else:
         spec = P(None)
-    return jax.device_put(x, NamedSharding(mesh, spec))
+    out = jax.device_put(x, NamedSharding(mesh, spec))
+    if wrapper is not None:
+        res = wrapper.copy(data=out)
+        res.attrs = dict(wrapper.attrs)
+        return res
+    return out
 
 
 def sharded_jit(fn, mesh: Mesh, n_space_axes: int = 2, time_leading: bool = True):
