@@ -132,3 +132,59 @@ class TestNativeReader:
             np.testing.assert_array_equal(np.asarray(ds["fixed"].values),
                                           np.asarray(f.variables["fixed"][:]))
         assert ds["tas"].time.year[0] == 2000
+
+
+class TestNewCliCommands:
+    def test_release_notes(self):
+        from click.testing import CliRunner
+
+        from xclim_tpu.cli import cli
+
+        r = CliRunner().invoke(cli, ["release_notes"])
+        assert r.exit_code == 0
+        assert "Changelog" in r.output or "xclim_tpu" in r.output
+
+    def test_prefetch_testing_data(self):
+        from click.testing import CliRunner
+
+        from xclim_tpu.cli import cli
+
+        r = CliRunner().invoke(cli, ["prefetch_testing_data"])
+        assert r.exit_code == 0
+        assert "synthetic" in r.output
+
+
+class TestDatasetBindingAndOptions:
+    def test_ds_binding(self):
+        import jax.numpy as jnp
+
+        from xclim_tpu.core.calendar import date_range
+        from xclim_tpu.core.dataarray import ClimArray, ClimDataset
+        from xclim_tpu.indicators import atmos
+
+        t = date_range("2001-01-01", periods=365, freq="D",
+                       calendar="noleap")
+        tas = ClimArray(jnp.full(365, 290.0), ("time",), {"time": t},
+                        {"units": "K", "standard_name": "air_temperature",
+                         "cell_methods": "time: mean"}, "tas")
+        ds = ClimDataset({"tas": tas})
+        out = atmos.tg_mean(ds=ds, freq="YS")
+        np.testing.assert_allclose(np.asarray(out.data)[0], 290.0)
+
+    def test_as_dataset_option(self):
+        import jax.numpy as jnp
+
+        from xclim_tpu.core.calendar import date_range
+        from xclim_tpu.core.dataarray import ClimArray, ClimDataset
+        from xclim_tpu.core.options import set_options
+        from xclim_tpu.indicators import atmos
+
+        t = date_range("2001-01-01", periods=365, freq="D",
+                       calendar="noleap")
+        tas = ClimArray(jnp.full(365, 290.0), ("time",), {"time": t},
+                        {"units": "K", "standard_name": "air_temperature",
+                         "cell_methods": "time: mean"}, "tas")
+        with set_options(as_dataset=True):
+            out = atmos.tg_mean(tas, freq="YS")
+        assert isinstance(out, ClimDataset)
+        assert "tg_mean" in out
