@@ -11,9 +11,17 @@ from xclim_tpu.indicators import atmos, convert, land
 
 
 def series(values, var, units, start="2001-01-01", calendar="noleap"):
+    from xclim_tpu.core.variables import VARIABLES
+
     t = date_range(start, periods=len(values), freq="D", calendar=calendar)
+    attrs = {"units": units}
+    meta = VARIABLES.get(var, {})
+    if meta.get("standard_name"):
+        attrs["standard_name"] = meta["standard_name"]
+    if meta.get("cell_methods"):
+        attrs["cell_methods"] = meta["cell_methods"]
     return ClimArray(jnp.asarray(np.asarray(values, np.float32)), ("time",),
-                     {"time": t}, {"units": units}, var)
+                     {"time": t}, attrs, var)
 
 
 class TestDegreeDays:
