@@ -23,29 +23,5 @@ from xclim_tpu.core.dataarray import ClimArray
 from xclim_tpu.testing.helpers import test_timeseries
 
 
-@pytest.fixture
-def timeseries():
-    return test_timeseries
-
-
-def _series_fixture(variable, units=None):
-    @pytest.fixture
-    def _fix():
-        def _make(values, start="2000-01-01", freq="D", calendar="standard", units=units):
-            return test_timeseries(values, variable=variable, start=start, freq=freq,
-                                   calendar=calendar, units=units)
-        return _make
-    return _fix
-
-
-tas_series = _series_fixture("tas")
-tasmax_series = _series_fixture("tasmax")
-tasmin_series = _series_fixture("tasmin")
-pr_series = _series_fixture("pr")
-prsn_series = _series_fixture("prsn")
-q_series = _series_fixture("q")
-snd_series = _series_fixture("snd")
-snw_series = _series_fixture("snw")
-hurs_series = _series_fixture("hurs")
-sfcWind_series = _series_fixture("sfcWind")
-evspsblpot_series = _series_fixture("evspsblpot")
+# series fixtures live in the package so downstream suites can reuse them
+pytest_plugins = ["xclim_tpu.testing.fixtures"]
