@@ -115,3 +115,24 @@ class TestCFFWISOracle:
         np.testing.assert_allclose(isi, 10.8537, atol=2e-3)
         np.testing.assert_allclose(bui, 8.4904, atol=2e-3)
         np.testing.assert_allclose(fwi, 10.0964, atol=2e-3)
+
+
+class TestUTCIOracle:
+    @pytest.mark.parametrize("wind_cap_min,wind,expected",
+                             [(False, 2, 17.70), (False, 1, np.nan),
+                              (True, 1, 17.76)])
+    def test_utci_values(self, tas_series, hurs_series, sfcWind_series,
+                         wind_cap_min, wind, expected):
+        # xclim:tests/test_indices.py:4247 — wind given in km/h
+        tas = tas_series(np.array([16.0]) + K2C, units="K")
+        hurs = hurs_series(np.array([36.0], dtype=np.float32), units="%")
+        mrt = tas_series(np.array([22.0]) + K2C, units="K")
+        w = sfcWind_series(np.array([float(wind)], dtype=np.float32),
+                           units="km/h")
+        out = np.asarray(xci.universal_thermal_climate_index(
+            tas=tas, hurs=hurs, sfcWind=w, mrt=mrt,
+            wind_cap_min=wind_cap_min).data) - K2C
+        if np.isnan(expected):
+            assert np.isnan(out[0])
+        else:
+            np.testing.assert_allclose(out[0], expected, atol=0.05)

@@ -701,19 +701,26 @@ def universal_thermal_climate_index(tas: ClimArray, hurs: ClimArray,
                                     rlds: ClimArray | None = None,
                                     rlus: ClimArray | None = None,
                                     stat: str = "sunlit",
-                                    mask_invalid: bool = True) -> ClimArray:
-    """UTCI thermal comfort index (xclim:converters.py:2389)."""
+                                    mask_invalid: bool = True,
+                                    wind_cap_min: bool = False) -> ClimArray:
+    """UTCI thermal comfort index (xclim:converters.py:2389).
+
+    `wind_cap_min=True` caps wind speeds below the 0.5 m/s validity limit at
+    0.5 instead of masking them as invalid (the reference's behavior)."""
     ta = convert_units_to(tas, "degC").data
-    va = jnp.clip(convert_units_to(sfcWind, "m/s").data, 0.5, 17.0)
+    raw_w = convert_units_to(sfcWind, "m/s").data
+    va = jnp.maximum(raw_w, 0.5) if wind_cap_min else raw_w
     if mrt is None:
         mrt = mean_radiant_temperature(rsds, rsus, rlds, rlus, stat=stat)
     dtm = convert_units_to(mrt, "degC").data - ta
-    e_sat = saturation_vapor_pressure(tas).data
+    e_sat = saturation_vapor_pressure(tas, method="its90").data
     h = convert_units_to(hurs, "%").data
     pa = h / 100 * e_sat / 1000.0  # kPa
     utci = _utci_poly(ta, va, dtm, pa)
     if mask_invalid:
-        valid = ((ta > -50) & (ta < 50) & (dtm > -30) & (dtm < 70))
+        # validity ranges per Brode et al. 2012 (xclim:converters.py:2480)
+        valid = ((ta > -50) & (ta < 50) & (dtm > -30) & (dtm < 30)
+                 & (va >= 0.5) & (va < 17.0))
         utci = jnp.where(valid, utci, jnp.nan)
     out = tas.copy(data=utci)
     out.attrs = {"units": "degC"}
