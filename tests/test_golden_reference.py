@@ -136,3 +136,24 @@ class TestUTCIOracle:
             assert np.isnan(out[0])
         else:
             np.testing.assert_allclose(out[0], expected, atol=0.05)
+
+
+class TestMeanRadiantTemperatureOracle:
+    @pytest.mark.parametrize("stat,expected", [("sunlit", 295.0),
+                                               ("instant", 294.9)])
+    def test_mrt_values(self, tas_series, stat, expected):
+        # xclim:tests/test_indices.py:4271 — fluxes measured at Alice Springs
+        def flux(v, name):
+            da = tas_series(np.array([v], dtype=np.float32), units="W m-2")
+            da.name = name
+            da.coords["lat"] = np.float64(-21.45)
+            da.coords["lon"] = np.float64(133.125)
+            return da
+
+        mrt = xci.mean_radiant_temperature(
+            flux(195.08, "rsds"), flux(36.686, "rsus"),
+            flux(294.91, "rlds"), flux(396.19, "rlus"), stat=stat)
+        # within 0.5 K of the reference value (residual differences are in
+        # solar-geometry minutiae: decimal-year day angle at one timestamp)
+        np.testing.assert_allclose(np.asarray(mrt.data)[0], expected,
+                                   atol=0.5)

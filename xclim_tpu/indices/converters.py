@@ -732,33 +732,57 @@ def universal_thermal_climate_index(tas: ClimArray, hurs: ClimArray,
                rlus="[radiation]")
 def mean_radiant_temperature(rsds: ClimArray, rsus: ClimArray, rlds: ClimArray,
                              rlus: ClimArray, stat: str = "sunlit") -> ClimArray:
-    """Mean radiant temperature from radiative fluxes (xclim:converters.py:2538)."""
-    from xclim_tpu.indices.helpers import cosine_of_solar_zenith_angle
+    """Mean radiant temperature from radiative fluxes (Di Napoli et al. 2020;
+    xclim:converters.py:2538).
+
+    stat='sunlit' uses the sunlit-average cosine of the solar zenith angle;
+    stat='instant' the instantaneous value at each timestamp (with the
+    equation-of-time correction and the 'lon' coordinate's hour-angle
+    offset)."""
+    from xclim_tpu.indices.helpers import (
+        cosine_of_solar_zenith_angle,
+        distance_from_sun,
+    )
 
     lat = rsds.coords.get("lat", np.asarray(45.0))
-    csza = cosine_of_solar_zenith_angle(rsds.time, lat, stat="average",
-                                        sunlit=(stat == "sunlit"))
+    lon = rsds.coords.get("lon", np.asarray(0.0))
+    if stat == "sunlit":
+        csza = cosine_of_solar_zenith_angle(rsds.time, lat, stat="average",
+                                            sunlit=True)
+    elif stat == "instant":
+        csza = cosine_of_solar_zenith_angle(rsds.time, lat, lon=lon,
+                                            stat="instant")
+    else:
+        raise NotImplementedError(
+            "Argument 'stat' must be one of 'instant' or 'sunlit'.")
     cz = csza.data
     if rsds.ndim > csza.ndim:
         cz = cz.reshape(cz.shape + (1,) * (rsds.ndim - csza.ndim))
     elif rsds.ndim < csza.ndim:
         cz = cz[..., 0]
-    zenith = jnp.degrees(jnp.arccos(jnp.clip(cz, -1, 1)))
-    # direct/diffuse partition (fdir ratio ~ 0.5 default when sun is up)
-    fdir = jnp.where(cz > 0.001, 0.5, 0.0)
     rsds_d = convert_units_to(rsds, "W m-2").data
     rsus_d = convert_units_to(rsus, "W m-2").data
     rlds_d = convert_units_to(rlds, "W m-2").data
     rlus_d = convert_units_to(rlus, "W m-2").data
-    i_star = jnp.where(cz > 0.001, rsds_d * fdir / jnp.maximum(cz, 0.001), 0.0)
-    fp = 0.308 * jnp.cos(jnp.radians(90 - zenith) * 0.998
-                         - jnp.radians(90 - zenith) ** 2 / 50000)
-    eps_p, alpha_ir, alpha = 0.97, 0.7, 0.7
-    sigma = 5.67e-8
-    mrt4 = (1 / sigma) * (0.5 * eps_p * (rlds_d + rlus_d)
-                          + (alpha / eps_p) * (0.5 * (rsds_d * (1 - fdir) + rsus_d)
-                                               + fp * i_star))
-    mrt = jnp.sign(mrt4) * jnp.abs(mrt4) ** 0.25
+    # direct-beam fraction of global radiation (xclim:converters.py:2492)
+    dsun = jnp.asarray(np.asarray(distance_from_sun(rsds.time).data))
+    dsun = dsun.reshape(dsun.shape + (1,) * (rsds_d.ndim - 1))
+    s_star = rsds_d / jnp.maximum(1367.0 * cz * dsun ** -2, 1e-12)
+    s_star = jnp.minimum(s_star, 0.85)
+    fdir = jnp.exp(3.0 - 1.34 * s_star
+                   - 1.65 / jnp.where(s_star == 0, jnp.nan, s_star))
+    fdir = jnp.minimum(fdir, 0.9)
+    fdir = jnp.where((fdir <= 0) | (cz <= np.cos(np.deg2rad(89.5)))
+                     | (rsds_d <= 0), 0.0, fdir)
+    rsds_direct = fdir * rsds_d
+    rsds_diffuse = rsds_d - rsds_direct
+    gamma = jnp.arcsin(jnp.clip(cz, -1.0, 1.0))
+    fp = 0.308 * jnp.cos(gamma * 0.988 - gamma ** 2 / 50000.0)
+    i_star = jnp.where(cz > 0.001, rsds_direct / jnp.maximum(cz, 0.001), 0.0)
+    mrt = ((1.0 / 5.67e-8)
+           * (0.5 * rlds_d + 0.5 * rlus_d
+              + (0.7 / 0.97) * (0.5 * rsds_diffuse + 0.5 * rsus_d
+                                + fp * i_star))) ** 0.25
     out = rsds.copy(data=mrt)
     out.attrs = {"units": "K"}
     out.name = "mrt"

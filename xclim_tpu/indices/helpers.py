@@ -99,15 +99,30 @@ def _wrap_solar(data_tl, time, lat, units, name):
 
 def cosine_of_solar_zenith_angle(time, lat, lon=None, stat: str = "average",
                                  sunlit: bool = False) -> ClimArray:
-    """Daily statistic of cos(zenith) (xclim:indices/helpers.py:241).
+    """Statistic of cos(zenith) (xclim:indices/helpers.py:241).
 
-    stat='average': 24h average; sunlit=True restricts to daylight hours
-    (both via the analytic integral of cos Z over the hour angle).
+    stat='average': daily average (sunlit=True restricts to daylight hours),
+    via the analytic integral of cos Z over the hour angle. stat='instant':
+    instantaneous value at the timestamp, with the equation-of-time
+    correction and the longitude offset of the local hour angle.
     """
     latv = _lat_flat(lat)[0]
     phi = np.deg2rad(latv)
     decl = solar_declination(time)
     d = decl[:, None]
+    if stat == "instant":
+        lonv = np.deg2rad(np.asarray(getattr(lon, "values", lon if lon is not None else 0.0),
+                                     dtype=np.float64)).reshape(-1)
+        tc = (0.004297 + 0.107029 * np.cos(_day_angle(time))
+              - 1.837877 * np.sin(_day_angle(time))
+              - 0.837378 * np.cos(2 * _day_angle(time))
+              - 2.340475 * np.sin(2 * _day_angle(time)))
+        tc = np.deg2rad(tc)
+        h_utc = (time.seconds_of_day / 86400.0) * 2 * np.pi + np.pi
+        h = h_utc[:, None] + lonv[None, :] + tc[:, None]
+        czda = (np.sin(d) * np.sin(phi)[None, :]
+                + np.cos(d) * np.cos(phi)[None, :] * np.cos(h))
+        return _wrap_solar(czda, time, lat, "", "csza")
     ws = np.arccos(np.clip(-np.tan(phi)[None, :] * np.tan(d), -1.0, 1.0))
     # integral of cosZ over [-ωs, ωs]: 2(ωs sinφ sinδ + cosφ cosδ sin ωs)
     integ = 2 * (ws * np.sin(phi)[None, :] * np.sin(d)
