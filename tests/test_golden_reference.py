@@ -157,3 +157,78 @@ class TestMeanRadiantTemperatureOracle:
         # solar-geometry minutiae: decimal-year day angle at one timestamp)
         np.testing.assert_allclose(np.asarray(mrt.data)[0], expected,
                                    atol=0.5)
+
+
+class TestSnowfallApproximationOracle:
+    """xclim:tests/test_indices.py:3424 — CLASS/Dai snowfall partitioning."""
+
+    @pytest.mark.parametrize("method,kws,exp", [
+        ("binary", {"thresh": "2 degC"}, [1, 1, 1, 0, 0, 0, 0, 0, 0, 0]),
+        ("brown", {"thresh": "2 degC"}, [1, 1, 1, 0.5, 0, 0, 0, 0, 0, 0]),
+        ("auer", {"thresh": "2 degC"},
+         [1, 1, 1, 0.89805, 0.593292, 0.289366, 0.116624, 0.055821, 0, 0]),
+        ("dai_annual", {},
+         [0.82387, 0.55053, 0.23377, 0.07485, 0.02674, 0.01459, 0.01166,
+          0.01097, 0.01081, 0.01077]),
+        ("dai_annual", {"clip_temp": "5 degC"},
+         [0.84246, 0.55791, 0.22817, 0.06274, 0.01265, 0, 0, 0, 0, 0]),
+        ("dai_annual", {"landmask": False},
+         [0.78895, 0.65031, 0.46730, 0.28835, 0.15796, 0.08192, 0.04319,
+          0.02483, 0.01642, 0.01263]),
+    ])
+    def test_snowfall(self, pr_series, tas_series, method, kws, exp):
+        pr = pr_series(np.ones(10, dtype=np.float32), units="kg m-2 s-1")
+        tas = tas_series(np.arange(10, dtype=np.float32), units="degC")
+        out = np.asarray(xci.snowfall_approximation(pr, tas=tas,
+                                                    method=method,
+                                                    **kws).data)
+        np.testing.assert_allclose(out, exp, atol=1e-4, rtol=2e-3)
+
+    @pytest.mark.parametrize("method,kws,exp", [
+        ("binary", {"thresh": "5 degC"}, [0, 0, 0, 0, 0, 0, 1, 1, 1, 1]),
+        ("dai_annual", {},
+         [0.12941, 0.34293, 0.65902, 0.86974, 0.94718, 0.96909, 0.97481,
+          0.97627, 0.97664, 0.976732]),
+    ])
+    def test_rain(self, pr_series, tas_series, method, kws, exp):
+        pr = pr_series(np.ones(10, dtype=np.float32), units="kg m-2 s-1")
+        tas = tas_series(np.arange(10, dtype=np.float32), units="degC")
+        out = np.asarray(xci.rain_approximation(pr, tas=tas, method=method,
+                                                **kws).data)
+        np.testing.assert_allclose(out, exp, atol=1e-4, rtol=2e-3)
+
+
+class TestDegreeDaysExceedanceDateOracle:
+    def test_values(self, tas_series):
+        # xclim:tests/test_indices.py:3405
+        tas = tas_series(np.ones(366, dtype=np.float32) + K2C,
+                         start="2000-01-01", units="K")
+        o1 = xci.degree_days_exceedance_date(tas, thresh="0 degC", op=">",
+                                             sum_thresh="150 K days")
+        o2 = xci.degree_days_exceedance_date(tas, thresh="2 degC", op="<",
+                                             sum_thresh="150 degC days")
+        o3 = xci.degree_days_exceedance_date(tas, thresh="2 degC", op="<",
+                                             sum_thresh="150 K days",
+                                             after_date="04-15")
+        assert float(np.asarray(o1.data)[0]) == 151
+        assert float(np.asarray(o2.data)[0]) == 151
+        assert float(np.asarray(o3.data)[0]) == 256
+
+
+class TestPETOracle:
+    @pytest.mark.parametrize("method,expected", [("BR65", 3.861079),
+                                                 ("HG85", 4.030339)])
+    def test_pet_methods(self, tasmin_series, tasmax_series, tas_series,
+                         method, expected):
+        # xclim:tests/test_indices.py:3943 — daily PET at lat 45, July
+        tn = tasmin_series(np.array([0, 5, 10]) + K2C, units="K",
+                           start="2000-07-01")
+        tx = tasmax_series(np.array([10, 15, 20]) + K2C, units="K",
+                           start="2000-07-01")
+        tm = tas_series(np.array([5, 10, 15]) + K2C, units="K",
+                        start="2000-07-01")
+        kw = {"tasmin": tn, "tasmax": tx, "lat": 45.0, "method": method}
+        if method == "HG85":
+            kw["tas"] = tm
+        out = np.asarray(xci.potential_evapotranspiration(**kw).data)
+        np.testing.assert_allclose(out[2] * 86400, expected, rtol=1e-2)

@@ -375,13 +375,15 @@ def snowfall_approximation(pr: ClimArray, tas: ClimArray, thresh: str = "0 degC"
         frac = jnp.clip(1.0 - (tdeg - t0) / 2.0, 0.0, 1.0)
         prsn = pr.copy(data=pr.data * frac)
     elif method == "auer":
-        # Auer (1974) empirical rain-fraction polynomial over [0, 6] degC
+        # Auer (1974) empirical SNOW-percent polynomial over [0, 6] degC above
+        # the threshold (100% at the threshold, ~0% at +6; CLASS coefficients,
+        # xclim:converters.py:1160-1180)
         dt = convert_units_to(tas, "K").data - convert_units_to(str2pint(thresh), "K")
         coeffs = jnp.array([100, 4.6664, -15.038, -1.5089, 2.0399, -0.366, 0.0202])
-        rain_pct = jnp.polyval(coeffs[::-1], dt)
-        rain_frac = jnp.clip(rain_pct, 0.0, 100.0) / 100.0
-        rain_frac = jnp.where(dt < 0, 0.0, jnp.where(dt >= 6, 1.0, rain_frac))
-        prsn = pr.copy(data=pr.data * (1 - rain_frac))
+        snow_pct = jnp.polyval(coeffs[::-1], dt)
+        snow_frac = jnp.clip(snow_pct, 0.0, 100.0) / 100.0
+        snow_frac = jnp.where(dt < 0, 1.0, jnp.where(dt >= 6, 0.0, snow_frac))
+        prsn = pr.copy(data=pr.data * snow_frac)
     elif method == "dai_annual":
         a, b, c, d = _DAI_COEFS[("snow", "dai_annual", bool(landmask))]
         tdeg = convert_units_to(tas, "degC").data
