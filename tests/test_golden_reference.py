@@ -232,3 +232,62 @@ class TestPETOracle:
             kw["tas"] = tm
         out = np.asarray(xci.potential_evapotranspiration(**kw).data)
         np.testing.assert_allclose(out[2] * 86400, expected, rtol=1e-2)
+
+
+class TestAgroOracles:
+    def test_corn_heat_units(self, tasmin_series, tasmax_series):
+        # xclim:tests/test_indices.py:264
+        tn = tasmin_series(np.array([-10, 5, 4, 3, 10]) + K2C, units="K")
+        tx = tasmax_series(np.array([-5, 9, 10, 16, 20]) + K2C, units="K")
+        out = np.asarray(xci.corn_heat_units(
+            tn, tx, thresh_tasmin="4.44 degC", thresh_tasmax="10 degC").data)
+        np.testing.assert_allclose(out, [0, 0.504, 0, 8.478, 17.454],
+                                   atol=1e-3)
+
+    def test_cooling_degree_days_approximation(self, tas_series,
+                                               tasmin_series, tasmax_series):
+        # xclim:tests/test_indices.py:248 (July-start series → 184-day period)
+        tmin = np.zeros(365, np.float32) + 16
+        tmin[:7] += [-3, -2, -1, 0, 1, 2, 3]
+        tas = tas_series(np.zeros(365, np.float32) + 18 + K2C, units="K",
+                         start="2000-07-01")
+        tn = tasmin_series(tmin + K2C, units="K", start="2000-07-01")
+        tx = tasmax_series(np.zeros(365, np.float32) + 20 + K2C, units="K",
+                           start="2000-07-01")
+        out = np.asarray(
+            xci.cooling_degree_days_approximation(tx, tn, tas).data)
+        np.testing.assert_allclose(out[0], 91.0)
+
+    @pytest.mark.parametrize("method,end_date,deg_days,max_deg_days", [
+        ("gladstones", "11-01", 1090.1, 1926.0),
+        ("huglin", "11-01", 1112.8, 1926.0),
+        ("icclim", "10-01", 915.0, 1647.0),
+        ("interpolated", "11-01", 1102.1, 1926.0),
+    ])
+    def test_bedd(self, method, end_date, deg_days, max_deg_days):
+        # xclim:tests/test_indices.py:272 — constant 10/20 degC at 3 latitudes
+        import jax.numpy as jnp
+
+        from xclim_tpu.core.calendar import date_range
+        from xclim_tpu.core.dataarray import ClimArray
+
+        t = date_range("1992-01-01", end="1995-06-01", freq="D")
+        lats = np.array([35, 45, 48])
+        lat = ClimArray(jnp.asarray(lats.astype(np.float32)), ("lat",),
+                        {"lat": lats}, {"units": "degrees_north"}, "lat")
+
+        def mk(v):
+            d = np.zeros((len(t), 3), np.float32) + v + K2C
+            return ClimArray(jnp.asarray(d), ("time", "lat"),
+                             {"time": t, "lat": lats}, {"units": "K"}, "x")
+
+        b = xci.biologically_effective_degree_days(
+            tasmin=mk(10), tasmax=mk(20), lat=lat, method=method,
+            end_date=end_date, freq="YS")
+        np.testing.assert_allclose(np.asarray(b.data)[:3, 1], deg_days,
+                                   atol=0.25)
+        bh = xci.biologically_effective_degree_days(
+            tasmin=mk(10), tasmax=mk(50), lat=lat, method=method,
+            end_date=end_date, freq="YS")
+        np.testing.assert_allclose(np.asarray(bh.data)[:3, 0], max_deg_days,
+                                   atol=0.1)
