@@ -291,3 +291,29 @@ class TestAgroOracles:
             end_date=end_date, freq="YS")
         np.testing.assert_allclose(np.asarray(bh.data)[:3, 0], max_deg_days,
                                    atol=0.1)
+
+
+class TestHydrologyOracles:
+    def test_base_flow_index(self, q_series):
+        # xclim:tests/test_hydrology.py:17 (q_series starts Jan 1)
+        a = np.zeros(365, np.float32) + 10
+        a[10:17] = 1
+        q = q_series(a, start="2000-01-01", units="m3 s-1")
+        out = float(np.asarray(xci.base_flow_index(q).data)[0])
+        np.testing.assert_allclose(out, 1.0 / a.mean(), rtol=1e-6)
+
+    def test_rb_flashiness(self, q_series):
+        # xclim:tests/test_hydrology.py:26
+        a = np.zeros(365, np.float32)
+        a[10] = 10
+        q = q_series(a, start="2000-01-01", units="m3 s-1")
+        out = float(np.asarray(xci.rb_flashiness_index(q).data)[0])
+        np.testing.assert_allclose(out, 2.0)
+
+    def test_snw_max(self, snw_series):
+        # xclim:tests/test_hydrology.py:83
+        a = np.zeros(366, np.float32)
+        a[10:20] = np.arange(0, 10)
+        snw = snw_series(a, start="1999-01-01", units="kg m-2")
+        out = np.asarray(xci.snw_max(snw, freq="YS").data)
+        np.testing.assert_array_equal(out, [9, 0])
