@@ -317,3 +317,51 @@ class TestHydrologyOracles:
         snw = snw_series(a, start="1999-01-01", units="kg m-2")
         out = np.asarray(xci.snw_max(snw, freq="YS").data)
         np.testing.assert_array_equal(out, [9, 0])
+
+
+class TestGenericOracles:
+    """xclim:tests/test_generic.py:14-60 — resample-op semantics."""
+
+    def test_count_month(self, q_series):
+        from xclim_tpu.indices import generic
+
+        q = q_series(np.arange(1000, dtype=np.float32), start="2000-01-01")
+        o = generic.select_resample_op(q, "count", freq="YS", month=3)
+        np.testing.assert_array_equal(np.asarray(o.data)[:2], [31, 31])
+
+    def test_season_default(self, q_series):
+        from xclim_tpu.indices import generic
+
+        q = q_series(np.arange(1000, dtype=np.float32), start="2000-01-01")
+        o = np.asarray(generic.select_resample_op(q, "min",
+                                                  season="DJF").data)
+        assert o[0] == 0 and o[1] == 366
+
+    def test_season_anchored(self, q_series):
+        from xclim_tpu.indices import generic
+
+        q = q_series(np.arange(1000, dtype=np.float32), start="2000-01-01")
+        o = generic.select_resample_op(q, "count", freq="YS-DEC",
+                                       season="DJF")
+        assert np.asarray(o.data)[0] == 31 + 29
+
+    def test_rolling_max(self, q_series):
+        from xclim_tpu.indices import generic
+
+        q = q_series(np.arange(1, 366 + 365 + 365 + 1, dtype=np.float32),
+                     start="2000-01-01")
+        o = generic.select_rolling_resample_op(q, "max", window=14,
+                                               window_center=False,
+                                               window_op="mean")
+        np.testing.assert_allclose(np.asarray(o.data),
+                                   [359.5, 724.5, 1089.5])
+
+    def test_rolling_min_indexed(self, q_series):
+        from xclim_tpu.indices import generic
+
+        q = q_series(np.arange(1, 366 + 365 + 365 + 1, dtype=np.float32),
+                     start="2000-01-01")
+        o = generic.select_rolling_resample_op(q, "min", window=14,
+                                               window_center=False,
+                                               window_op="max", season="DJF")
+        np.testing.assert_allclose(np.asarray(o.data), [14, 367, 732])
