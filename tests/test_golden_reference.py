@@ -365,3 +365,66 @@ class TestGenericOracles:
                                                window_center=False,
                                                window_op="max", season="DJF")
         np.testing.assert_allclose(np.asarray(o.data), [14, 367, 732])
+
+
+class TestHeatWaveOracles:
+    """xclim:tests/test_indices.py:1859-2090 — the spell-kernel battery."""
+
+    @pytest.fixture
+    def hw_series(self, tasmin_series, tasmax_series):
+        tn = tasmin_series(
+            np.array([20, 23, 23, 23, 23, 22, 23, 23, 23, 23],
+                     dtype=np.float32) + K2C, units="K")
+        tx = tasmax_series(
+            np.array([29, 31, 31, 31, 29, 31, 31, 31, 31, 31],
+                     dtype=np.float32) + K2C, units="K")
+        return tn, tx
+
+    @pytest.mark.parametrize("thn,thx,window,expected", [
+        ("22 degC", "30 degC", 3, 2), ("22 degC", "30 degC", 4, 1),
+        ("10 degC", "10 degC", 3, 1), ("40 degC", "40 degC", 3, 0)])
+    def test_frequency(self, hw_series, thn, thx, window, expected):
+        tn, tx = hw_series
+        out = xci.heat_wave_frequency(tn, tx, thresh_tasmin=thn,
+                                      thresh_tasmax=thx, window=window)
+        assert float(np.asarray(out.data)[0]) == expected
+
+    @pytest.mark.parametrize("thn,thx,window,expected", [
+        ("22 degC", "30 degC", 3, 4), ("10 degC", "10 degC", 3, 10),
+        ("40 degC", "40 degC", 3, 0), ("22 degC", "30 degC", 5, 0)])
+    def test_max_length(self, hw_series, thn, thx, window, expected):
+        tn, tx = hw_series
+        out = xci.heat_wave_max_length(tn, tx, thresh_tasmin=thn,
+                                       thresh_tasmax=thx, window=window)
+        assert float(np.asarray(out.data)[0]) == expected
+
+    @pytest.mark.parametrize("thn,thx,window,expected", [
+        ("22 degC", "30 degC", 3, 7), ("10 degC", "10 degC", 3, 10),
+        ("40 degC", "40 degC", 3, 0), ("22 degC", "30 degC", 5, 0)])
+    def test_total_length(self, hw_series, thn, thx, window, expected):
+        tn, tx = hw_series
+        out = xci.heat_wave_total_length(tn, tx, thresh_tasmin=thn,
+                                         thresh_tasmax=thx, window=window)
+        assert float(np.asarray(out.data)[0]) == expected
+
+    @pytest.mark.parametrize("thresh,window,op,expected", [
+        ("30 degC", 3, ">", 2), ("30 degC", 4, ">", 1),
+        ("29 degC", 3, ">", 2), ("29 degC", 3, ">=", 1),
+        ("10 degC", 3, ">", 1), ("40 degC", 5, ">", 0)])
+    def test_hot_spell_frequency(self, hw_series, thresh, window, op,
+                                 expected):
+        _, tx = hw_series
+        out = xci.hot_spell_frequency(tx, thresh=thresh, window=window, op=op)
+        assert float(np.asarray(out.data)[0]) == expected
+
+    @pytest.mark.parametrize("resample_before_rl,expected", [(True, 1),
+                                                             (False, 0)])
+    def test_resampling_order(self, tasmax_series, resample_before_rl,
+                              expected):
+        a = np.zeros(365, np.float32)
+        a[5:35] = 31
+        tx = tasmax_series(a + K2C, units="K", start="2000-01-01")
+        out = xci.hot_spell_frequency(tx,
+                                      resample_before_rl=resample_before_rl,
+                                      freq="MS")
+        assert float(np.asarray(out.data)[1]) == expected
