@@ -114,6 +114,42 @@ class TestQDM:
         np.testing.assert_allclose(delta, 1.0, atol=0.3)
 
 
+class TestDetrend:
+    """generic.detrend numerical conditioning (ADVICE r1: uncentered float32
+    Vandermonde at t≈2000 produced garbage residuals)."""
+
+    def test_flat_series_zero_trend(self):
+        flat = _series(np.full(365 * 4, 10.0))
+        from xclim_tpu.indices.generic import detrend
+
+        resid = np.asarray(detrend(flat).data)
+        np.testing.assert_allclose(resid, 0.0, atol=1e-3)
+
+    def test_linear_trend_recovered(self):
+        n = 365 * 4
+        rng = np.random.default_rng(7)
+        noise = rng.normal(0, 0.01, n)
+        trend = np.linspace(0.0, 5.0, n)
+        da = _series(20.0 + trend + noise)
+        from xclim_tpu.indices.generic import detrend
+
+        resid = np.asarray(detrend(da).data)
+        # residual should be just the noise: no leftover slope or level
+        np.testing.assert_allclose(resid, noise, atol=0.02)
+        slope = np.polyfit(np.arange(n), resid, 1)[0]
+        assert abs(slope * n) < 0.02  # total drift over the record
+
+    def test_variance_preserved(self):
+        n = 365 * 4
+        rng = np.random.default_rng(8)
+        noise = rng.normal(0, 1.0, n)
+        da = _series(10.0 + noise)
+        from xclim_tpu.indices.generic import detrend
+
+        resid = np.asarray(detrend(da).data)
+        np.testing.assert_allclose(resid.std(), 1.0, rtol=0.05)
+
+
 class TestDQM:
     def test_trend_preserved(self):
         rng = np.random.default_rng(5)
@@ -128,6 +164,41 @@ class TestDQM:
         # bias removed, trend kept
         resid = np.asarray(scen.values) - (base + trend)
         assert np.abs(resid.mean()) < 0.3
+
+    def test_variance_adjusted(self):
+        # ADVICE r1: detrend conditioning bug made DQM's variance correction
+        # garbage; pin that hist std 2 → ref std 1 actually lands near 1
+        rng = np.random.default_rng(9)
+        n = 365 * 4
+        ref = _series(rng.normal(10, 1, n))
+        hist = _series(rng.normal(10, 2, n))
+        dqm = DetrendedQuantileMapping.train(ref, hist, nquantiles=50, group="time")
+        scen = dqm.adjust(hist)
+        assert abs(np.asarray(scen.values).std() - 1.0) < 0.15
+
+    def test_heterogeneous_grid(self):
+        # ADVICE r1: a global-scalar trend recentering saturated the quantile
+        # lookup off-table on grids whose cells have very different means —
+        # DQM silently applied no adjustment. Two cells at means 10 and 100,
+        # both with hist std 2 vs ref std 1, must both adjust.
+        rng = np.random.default_rng(10)
+        n = 365 * 4
+        t = date_range("2000-01-01", periods=n, freq="D", calendar="noleap")
+
+        def grid(stds, means):
+            v = np.stack([rng.normal(m, s, n) for m, s in zip(means, stds)],
+                         axis=1).astype(np.float32)
+            return ClimArray(jnp.asarray(v), ("time", "cell"),
+                             {"time": t, "cell": np.arange(2)},
+                             {"units": "K"}, "tas")
+
+        ref = grid([1, 1], [10, 100])
+        hist = grid([2, 2], [10, 100])
+        dqm = DetrendedQuantileMapping.train(ref, hist, nquantiles=50,
+                                             group="time")
+        scen = np.asarray(dqm.adjust(hist).values)
+        for c in range(2):
+            assert abs(scen[:, c].std() - 1.0) < 0.2, f"cell {c} unadjusted"
 
 
 class TestScaling:

@@ -591,8 +591,18 @@ def get_zones(da: ClimArray, zone_min=None, zone_max=None, zone_step=None,
 
 
 def detrend(da: ClimArray, deg: int = 1) -> ClimArray:
-    """Subtract a least-squares polynomial fit along time (xclim generic.py:1711)."""
-    t = jnp.asarray(da.time.decimal_year.astype(np.float32))
+    """Subtract a least-squares polynomial fit along time (xclim generic.py:1711).
+
+    The decimal-year axis is centered and scaled to ~[-1, 1] before building
+    the Vandermonde so the float32 normal equations stay well-conditioned
+    (an uncentered t≈2000 axis has cond(VtV) ~1e10 and produces garbage
+    residuals in float32)."""
+    t_np = da.time.decimal_year.astype(np.float64)
+    t_np = t_np - t_np.mean()
+    scale = np.abs(t_np).max()
+    if scale > 0:
+        t_np = t_np / scale
+    t = jnp.asarray(t_np.astype(np.float32))
     ax = da.time_axis
     x = jnp.moveaxis(da.data, ax, 0)
     T = x.shape[0]

@@ -203,8 +203,21 @@ void* nc3_open(const char* path) {
       v.vsize = (int64_t)c.u32();
       v.begin = f->version == 2 ? c.i64() : (int64_t)c.u32();
       v.is_record = !v.dimids.empty() && v.dimids[0] == f->rec_dim;
-      for (size_t d = v.is_record ? 1 : 0; d < v.dimids.size(); d++)
-        v.n_fixed *= f->dim_sizes[v.dimids[d]];
+      // dim ids come from the file: validate before indexing, and guard
+      // the n_fixed product against overflow from a hostile header
+      for (size_t d = v.is_record ? 1 : 0; d < v.dimids.size(); d++) {
+        int32_t id = v.dimids[d];
+        if (id < 0 || (size_t)id >= f->dim_sizes.size()) {
+          f->error = "invalid dimension id in variable header";
+          return f;
+        }
+        int64_t sz = f->dim_sizes[id];
+        if (sz < 0 || (sz > 0 && v.n_fixed > INT64_MAX / sz)) {
+          f->error = "variable size overflow in header";
+          return f;
+        }
+        v.n_fixed *= sz;
+      }
       f->vars.push_back(std::move(v));
     }
   }

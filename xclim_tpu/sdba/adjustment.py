@@ -152,20 +152,24 @@ class DetrendedQuantileMapping(TrainAdjust):
 
         residual = _detrend_fn(sim_sc, deg=detrend).data
         trend = sim_sc.data - residual
+        # re-center with the PER-CELL time mean of the trend (hist_q/af are
+        # per-cell; a global scalar saturates the quantile lookup off-table
+        # on spatially heterogeneous grids)
+        tmean = jnp.nanmean(trend, axis=sim.time_axis, keepdims=True)
         if self.kind == "+":
-            detrended = sim_sc.copy(data=residual + jnp.nanmean(trend))
+            detrended = sim_sc.copy(data=residual + tmean)
         else:
             safe_trend = jnp.where(trend == 0, jnp.nan, trend)
-            detrended = sim_sc.copy(data=sim_sc.data / safe_trend * jnp.nanmean(trend))
+            detrended = sim_sc.copy(data=sim_sc.data / safe_trend * tmean)
         # 3. EQM with the trained factors
         eqm = EmpiricalQuantileMapping(self.ds, group=self.group, kind=self.kind)
         eqm.train_units = self.train_units
         adj = eqm._adjust(detrended, interp=interp, extrapolation=extrapolation)
         # 4. retrend
         if self.kind == "+":
-            out = adj.data + (trend - jnp.nanmean(trend))
+            out = adj.data + (trend - tmean)
         else:
-            out = adj.data * trend / jnp.nanmean(trend)
+            out = adj.data * trend / tmean
         return sim.copy(data=out)
 
 
@@ -543,7 +547,14 @@ def npdf_transform(ref: ClimArray, hist: ClimArray, sim: ClimArray = None,
 
 
 def _save_trained(obj: TrainAdjust, path):
-    """Serialize a trained adjustment object to ``.npz``."""
+    """Serialize a trained adjustment object to ``.npz``.
+
+    Metadata travels as a JSON string in a unicode array — never pickled —
+    so checkpoints load with ``allow_pickle=False`` (untrusted checkpoint
+    files are not a code-execution vector; the reference likewise stores
+    trained state as plain datasets)."""
+    import json
+
     meta = {"__class__": type(obj).__name__,
             "__group__": obj.group.group,
             "__window__": obj.group.window,
@@ -554,16 +565,16 @@ def _save_trained(obj: TrainAdjust, path):
         if hasattr(obj, attr):
             extra[f"__{attr}__"] = np.float64(getattr(obj, attr))
     arrays = {k: np.asarray(v) for k, v in obj.ds.items()}
-    np.savez(path, __meta__=np.array([repr(meta)], dtype=object),
+    np.savez(path, __meta__=np.array(json.dumps(meta)),
              **extra, **arrays)
 
 
 def _load_trained(path):
     """Load a trained adjustment object saved with ``.save()``."""
-    import ast
+    import json
 
-    data = np.load(path, allow_pickle=True)
-    meta = ast.literal_eval(str(data["__meta__"][0]))
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(str(data["__meta__"][()]))
     cls = {c.__name__: c for c in
            (EmpiricalQuantileMapping, DetrendedQuantileMapping,
             QuantileDeltaMapping, Scaling, LOCI,
