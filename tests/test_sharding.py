@@ -79,3 +79,40 @@ class TestShardedIndicators:
         f = sharded_jit(step, mesh)
         out = np.asarray(f(ds.data))
         np.testing.assert_allclose(out, np.asarray(v).mean(0), rtol=1e-6)
+
+
+class TestSpaceMeshErrors:
+    def test_too_many_devices_clear_error(self):
+        from xclim_tpu.parallel import space_mesh
+
+        with pytest.raises(ValueError, match="only .* visible"):
+            space_mesh(len(jax.devices()) * 2)
+
+
+class TestDryrunMultichip:
+    """The driver invokes __graft_entry__.dryrun_multichip(8) in a process
+    with NO env setup and possibly an already-initialized 1-device backend
+    (MULTICHIP_r01 crashed exactly there). Run it the way the driver does:
+    fresh subprocess, clean environment."""
+
+    @pytest.mark.slow
+    def test_subprocess_clean_env(self):
+        import os
+        import subprocess
+        import sys
+        from pathlib import Path
+
+        repo = Path(__file__).resolve().parents[1]
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+        env["PYTHONPATH"] = str(repo)
+        env["JAX_PLATFORMS"] = "cpu"  # keep the unit test off the TPU tunnel
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import __graft_entry__ as g; g.dryrun_multichip(8); "
+             "print('DRYRUN_OK')"],
+            cwd=repo, env=env, capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "DRYRUN_OK" in r.stdout
+        for name in ("tx90p", "qdm", "ensemble_percentiles"):
+            assert f"pipeline {name}: OK" in r.stdout, r.stdout

@@ -31,7 +31,16 @@ def space_mesh(n_devices: int | None = None, shape: tuple[int, int] | None = Non
         while n % a:
             a -= 1
         shape = (a, n // a)
-    mesh_devs = np.array(devs[: shape[0] * shape[1]]).reshape(shape)
+    need = shape[0] * shape[1]
+    if need > len(devs):
+        raise ValueError(
+            f"space_mesh: requested a {shape[0]}x{shape[1]} mesh "
+            f"({need} devices) but only {len(devs)} device(s) are visible "
+            f"on platform '{devs[0].platform if devs else '?'}'. For a local "
+            "dry run, force a virtual CPU platform first: set XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={need} and call "
+            "jax.config.update('jax_platforms', 'cpu') before any jax use.")
+    mesh_devs = np.array(devs[:need]).reshape(shape)
     return Mesh(mesh_devs, ("lat", "lon"))
 
 
