@@ -97,3 +97,63 @@ class TestAtLeastN:
         tas = tas_series(vals, start="2000-01-01")
         assert not at_least_n_valid(tas, "MS", n=20).values[0]
         assert at_least_n_valid(tas, "MS", n=28).values[0]
+
+
+class TestMissingTwoSteps:
+    """Two-step masks (xclim:core/missing.py:338): compute at subfreq, merge
+    into the target freq with the 'any' rule."""
+
+    def test_pct_subfreq_monthly(self, tas_series):
+        from xclim_tpu.core.missing import MissingPct
+
+        # 20 missing days all inside January: 20/366 ≈ 5% of the year (below
+        # tolerance in one step), but 20/31 ≈ 65% of January (above) — the
+        # two-step method must flag the year
+        vals = np.zeros(366)
+        vals[:20] = np.nan
+        tas = tas_series(vals, start="2000-01-01")
+        assert not MissingPct(tolerance=0.3)(tas, "YS").values[0]
+        assert MissingPct(tolerance=0.3, subfreq="MS")(tas, "YS").values[0]
+
+    def test_at_least_n_subfreq(self, tas_series):
+        from xclim_tpu.core.missing import AtLeastNValid
+
+        # 345 valid days in the year (≥300 in one step), but January has only
+        # 11 valid days (<20) — subfreq='MS' must flag the year
+        vals = np.zeros(366)
+        vals[:20] = np.nan
+        tas = tas_series(vals, start="2000-01-01")
+        assert not AtLeastNValid(n=300)(tas, "YS").values[0]
+        assert AtLeastNValid(n=20, subfreq="MS")(tas, "YS").values[0]
+
+    def test_incomplete_subperiod_coverage(self, tas_series):
+        from xclim_tpu.core.missing import MissingPct
+
+        # only 6 complete months of 2000: YS period lacks expected months →
+        # missing under the two-step merge even with zero NaNs
+        vals = np.zeros(182)
+        tas = tas_series(vals, start="2000-01-01")
+        m = MissingPct(tolerance=0.9, subfreq="MS")(tas, "YS")
+        assert m.values[0]
+
+    def test_freq_finer_than_subfreq_raises(self, tas_series):
+        from xclim_tpu.core.missing import MissingPct
+
+        tas = tas_series(np.zeros(366), start="2000-01-01")
+        with pytest.raises(ValueError, match="cannot be finer"):
+            MissingPct(tolerance=0.1, subfreq="YS")(tas, "MS")
+
+    def test_wmo_is_two_steps(self):
+        from xclim_tpu.core.missing import MissingTwoSteps, MissingWMO
+
+        assert issubclass(MissingWMO, MissingTwoSteps)
+
+    def test_subfreq_none_single_step(self, tas_series):
+        from xclim_tpu.core.missing import MissingPct
+
+        vals = np.zeros(366)
+        vals[:10] = np.nan
+        tas = tas_series(vals, start="2000-01-01")
+        a = MissingPct(tolerance=0.1)(tas, "YS").values
+        b = MissingPct(tolerance=0.1, subfreq=None)(tas, "YS").values
+        np.testing.assert_array_equal(a, b)

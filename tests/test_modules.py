@@ -96,3 +96,93 @@ indicators:
         ds = generate_atmos(nyears=1)
         out = mod.my_tg(ds=ds, freq="YS")
         assert out.shape == (1,)
+
+
+class TestYamlSchema:
+    """Schema validation of YAML modules (xclim:core/indicator.py:1845-1852,
+    xclim:data/schema.yml): a malformed module must fail with a field-level
+    report, not a confusing downstream error."""
+
+    def _build(self, tmp_path, text, **kw):
+        yml = tmp_path / "bad.yml"
+        yml.write_text(text)
+        return xclim_tpu.build_indicator_module_from_yaml(yml, **kw)
+
+    def test_unknown_indicator_key(self, tmp_path):
+        from xclim_tpu.core._exceptions import ValidationError
+
+        with pytest.raises(ValidationError, match=r"indicators\.x\.computee"):
+            self._build(tmp_path, """
+module: bad1
+indicators:
+  x:
+    computee: tg_mean
+""")
+
+    def test_bad_parameter_type(self, tmp_path):
+        from xclim_tpu.core._exceptions import ValidationError
+
+        with pytest.raises(ValidationError,
+                           match=r"indicators\.x\.parameters\.thresh"):
+            self._build(tmp_path, """
+module: bad2
+indicators:
+  x:
+    base: tx_days_above
+    parameters:
+      thresh: [30, 40]
+""")
+
+    def test_missing_indicators_section(self, tmp_path):
+        from xclim_tpu.core._exceptions import ValidationError
+
+        with pytest.raises(ValidationError, match="missing required section"):
+            self._build(tmp_path, "module: bad3\nrealm: atmos\n")
+
+    def test_bad_allowed_periods(self, tmp_path):
+        from xclim_tpu.core._exceptions import ValidationError
+
+        with pytest.raises(ValidationError, match="allowed_periods"):
+            self._build(tmp_path, """
+module: bad4
+indicators:
+  x:
+    base: tg_mean
+    allowed_periods: [X]
+""")
+
+    def test_multiple_errors_reported_together(self, tmp_path):
+        from xclim_tpu.core._exceptions import ValidationError
+
+        with pytest.raises(ValidationError, match="2 errors") as exc:
+            self._build(tmp_path, """
+module: bad5
+indicators:
+  x:
+    computee: tg_mean
+    title: 5
+""")
+        msg = str(exc.value)
+        assert "computee" in msg and "title" in msg
+
+    def test_validate_false_skips(self, tmp_path):
+        # opt-out must preserve the old permissive behavior
+        mod = self._build(tmp_path, """
+module: okskip
+indicators:
+  my_tg2:
+    base: tg_mean
+    computee_typo_is_ignored: foo
+""", validate=False)
+        assert hasattr(mod, "my_tg2")
+
+    def test_bundled_modules_validate(self):
+        import yaml
+        from pathlib import Path
+
+        from xclim_tpu.core.yaml_schema import validate_module_dict
+
+        data_dir = Path(xclim_tpu.__file__).parent / "data"
+        for p in sorted(data_dir.glob("*.yml")):
+            errs = validate_module_dict(yaml.safe_load(p.read_text()))
+            assert errs == [], f"{p.name}: {errs}"

@@ -584,10 +584,16 @@ def _resolve_compute(path: str):
 
 def build_indicator_module_from_yaml(filename, name: str | None = None,
                                      indices=None, translations=None,
-                                     mode: str = "raise", encoding: str = "utf-8"):
+                                     mode: str = "raise", encoding: str = "utf-8",
+                                     validate: bool = True):
     """Build indicators from a YAML definition file
     (xclim:core/indicator.py:1761). Supports the reference's YAML layout:
     ``base:``, ``compute:``, ``input:``, ``parameters:``, ``cf_attrs``/flat attrs.
+
+    With ``validate=True`` (default) the parsed module is schema-checked
+    first (xclim:core/indicator.py:1845-1852 / data/schema.yml) and a
+    malformed module raises :class:`ValidationError` with a field-level
+    report.
     """
     from pathlib import Path
 
@@ -596,6 +602,10 @@ def build_indicator_module_from_yaml(filename, name: str | None = None,
     filepath = Path(filename)
     with open(filepath, encoding=encoding) as f:
         yml = yaml.safe_load(f)
+    if validate:
+        from xclim_tpu.core.yaml_schema import check_yaml_module
+
+        check_yaml_module(yml, source=filepath.name)
     name = name or yml.get("module", filepath.stem)
     doc = yml.get("doc")
     default_base = yml.get("base", "Daily")

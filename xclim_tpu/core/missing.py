@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from xclim_tpu.core.calendar import (
     SegmentSpec,
+    compare_offsets,
     date_range,
     parse_offset,
     resample_segments,
@@ -32,7 +33,9 @@ __all__ = [
     "MissingAny",
     "MissingBase",
     "MissingPct",
+    "MissingTwoSteps",
     "MissingWMO",
+    "MissingSomeButNotAll",
     "AtLeastNValid",
     "expected_count",
     "at_least_n_valid",
@@ -138,54 +141,61 @@ class MissingAny(MissingBase):
         return nvalid != self._count_arr(count, spec, ax, valid.ndim)
 
 
+class MissingTwoSteps(MissingBase):
+    """Two-step mask: compute the method's mask at a finer ``subfreq``
+    resolution, then merge the sub-periods into the target ``freq`` with
+    the "any" rule — a period is invalid if any of its sub-periods is
+    invalid, or if an expected sub-period is absent from the data
+    (xclim:core/missing.py:338).
+
+    ``subfreq=None`` in the options means a single resampling at the
+    target frequency (plain :class:`MissingBase` behavior).
+    """
+
+    def __call__(self, da: ClimArray, freq: str | None = None,
+                 src_timestep: str | None = None, **indexer) -> ClimArray:
+        subfreq = self.options.get("subfreq") or freq
+        if subfreq is not None and freq is not None \
+                and compare_offsets(freq, "<", subfreq):
+            raise ValueError(
+                "The target resampling frequency cannot be finer than the "
+                f"first-step frequency. Got : {subfreq} > {freq}.")
+        miss = MissingBase.__call__(self, da, freq=subfreq,
+                                    src_timestep=src_timestep, **indexer)
+        if subfreq == freq:
+            return miss
+        # merge: invalid sub-periods become NaN so MissingAny flags both
+        # any-invalid and incomplete sub-period coverage of the target period
+        sub = miss.copy(data=jnp.where(miss.data, jnp.nan, 0.0))
+        sub.attrs = {}
+        return MissingAny()(sub, freq, src_timestep=subfreq, **indexer)
+
+
 @register_missing_method("wmo")
-class MissingWMO(MissingBase):
+class MissingWMO(MissingTwoSteps):
     """WMO criteria at monthly scale: ≥nm missing or ≥nc consecutive missing
     days in any month of the period (xclim:core/missing.py:395)."""
 
     def __init__(self, nm: int = 11, nc: int = 5):
-        super().__init__(nm=nm, nc=nc)
+        super().__init__(nm=nm, nc=nc, subfreq="MS")
 
     @staticmethod
     def validate(nm: int = 11, nc: int = 5, **kw):
         return nm < 31 and nc < 31
 
-    def __call__(self, da: ClimArray, freq: str | None = None,
-                 src_timestep: str | None = None, **indexer) -> ClimArray:
+    def is_missing(self, valid, count, spec, ax):
         from xclim_tpu.ops import runlength as _rl
 
-        src_timestep = src_timestep or da.time.infer_freq() or "D"
-        valid, ax = self._valid_mask(da, **indexer)
-        # step 1: monthly mask
-        mspec = resample_segments(da.time, "MS")
-        mcount = expected_count(da.time, "MS", src_timestep, **indexer)
-        nvalid = segment_reduce(valid.astype(jnp.float32), mspec, "sum", axis=ax,
-                                skipna=False)
-        missing_days = self._count_arr(mcount, mspec, ax, valid.ndim) - nvalid
+        nvalid = self._nvalid(valid, spec, ax)
+        missing_days = self._count_arr(count, spec, ax, valid.ndim) - nvalid
         cond1 = missing_days >= self.options["nm"]
-        longest = _rl.longest_run(~valid, axis=ax, spec=mspec)
+        longest = _rl.longest_run(~valid, axis=ax, spec=spec)
         cond2 = longest >= self.options["nc"]
-        monthly = cond1 | cond2
-        if freq is None or freq == "MS":
-            spec = mspec if freq == "MS" else None
-            if spec is None:
-                monthly = monthly.any(axis=ax)
-                out_dims = tuple(d for d in da.dims if d != "time")
-                coords = {k: v for k, v in da.coords.items() if k != "time"}
-                return ClimArray(monthly, out_dims, coords, {}, da.name)
-            coords = dict(da.coords)
-            coords["time"] = spec.labels
-            return ClimArray(monthly, da.dims, coords, {}, da.name)
-        # step 2: aggregate months into target periods with "any"
-        tspec = resample_segments(mspec.labels, freq)
-        agg = segment_reduce(monthly, tspec, "any", axis=ax, skipna=False)
-        coords = dict(da.coords)
-        coords["time"] = tspec.labels
-        return ClimArray(agg, da.dims, coords, {}, da.name)
+        return cond1 | cond2
 
 
 @register_missing_method("pct")
-class MissingPct(MissingBase):
+class MissingPct(MissingTwoSteps):
     """Period invalid when missing fraction ≥ tolerance (xclim:core/missing.py:454)."""
 
     def __init__(self, tolerance: float = 0.1, subfreq: str | None = None):
@@ -203,7 +213,7 @@ class MissingPct(MissingBase):
 
 
 @register_missing_method("at_least_n")
-class AtLeastNValid(MissingBase):
+class AtLeastNValid(MissingTwoSteps):
     """Period invalid with fewer than n valid values (xclim:core/missing.py:486)."""
 
     def __init__(self, n: int = 20, subfreq: str | None = None):
