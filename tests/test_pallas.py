@@ -1,4 +1,12 @@
-"""Pallas fused kernels (interpret mode on CPU; compiled on TPU)."""
+"""Pallas fused spell kernel + capability dispatch.
+
+Kernel correctness runs in interpret mode on CPU (compiled Mosaic on capable
+TPU backends); the dispatch layer is exercised end-to-end by forcing
+``set_pallas_mode("interpret")`` and comparing full indicator outputs against
+the pure-XLA path.
+"""
+
+import operator
 
 import numpy as np
 import pytest
@@ -6,31 +14,165 @@ import jax.numpy as jnp
 
 from xclim_tpu.core.calendar import date_range, resample_segments
 from xclim_tpu.ops import runlength as rl
+from xclim_tpu.ops.pallas.capability import pallas_mode, set_pallas_mode
 from xclim_tpu.ops.pallas.spells import fused_spell_stats
 from xclim_tpu.ops.segments import segment_reduce
 
+OPS = {">": operator.gt, ">=": operator.ge, "<": operator.lt,
+       "<=": operator.le}
 
-@pytest.mark.parametrize("freq,op,window", [("MS", ">", 3), ("YS", ">=", 1),
-                                            ("MS", "<", 5)])
-def test_fused_spell_stats_vs_xla(freq, op, window):
-    rng = np.random.default_rng(1)
-    t = date_range("2000-01-01", periods=730, freq="D")
-    spec = resample_segments(t, freq)
-    C = 130  # force block padding
-    x = rng.normal(25, 8, (730, C)).astype(np.float32)
-    x[3, 7] = np.nan
-    cnt, wrc, wre, lng = fused_spell_stats(x, spec, thresh=25.0, window=window,
-                                           op=op, interpret=True)
-    import operator
 
-    ops = {">": operator.gt, ">=": operator.ge, "<": operator.lt}
-    b = ops[op](jnp.asarray(x), 25.0)
+@pytest.fixture(autouse=True)
+def _xla_reference_mode():
+    """Force the XLA path while building references, restore after."""
+    set_pallas_mode("off")
+    yield
+    set_pallas_mode("off")
+
+
+def _reference(x, spec, thresh, window, op):
+    b = OPS[op](jnp.asarray(x), thresh)
     b = jnp.where(jnp.isnan(x), False, b)
-    ref_cnt = segment_reduce(b.astype(jnp.float32), spec, "sum")
-    ref_wrc = rl.windowed_run_count(b, window, spec=spec)
-    ref_wre = rl.windowed_run_events(b, window, spec=spec)
-    ref_lng = rl.longest_run(b, spec=spec)
-    np.testing.assert_allclose(np.asarray(cnt), np.asarray(ref_cnt))
-    np.testing.assert_allclose(np.asarray(wrc), np.asarray(ref_wrc))
-    np.testing.assert_allclose(np.asarray(wre), np.asarray(ref_wre))
-    np.testing.assert_allclose(np.asarray(lng), np.asarray(ref_lng))
+    return (segment_reduce(b.astype(jnp.float32), spec, "sum"),
+            rl.windowed_run_count(b, window, spec=spec),
+            rl.windowed_run_events(b, window, spec=spec),
+            rl.longest_run(b, spec=spec))
+
+
+def _check(x, spec, thresh, window, op):
+    cnt, wrc, wre, lng = fused_spell_stats(x, spec, thresh=thresh,
+                                           window=window, op=op,
+                                           interpret=True)
+    ref = _reference(x, spec, thresh, window, op)
+    for got, want, name in zip((cnt, wrc, wre, lng), ref,
+                               ("cnt", "wrc", "wre", "lng")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   err_msg=name)
+
+
+class TestFusedKernel:
+    @pytest.mark.parametrize("op", [">", ">=", "<", "<="])
+    @pytest.mark.parametrize("window", [1, 3])
+    def test_all_ops_windows(self, op, window):
+        rng = np.random.default_rng(1)
+        t = date_range("2000-01-01", periods=730, freq="D")
+        spec = resample_segments(t, "MS")
+        x = rng.normal(25, 8, (730, 40)).astype(np.float32)
+        x[3, 7] = np.nan
+        _check(x, spec, 25.0, window, op)
+
+    def test_multiblock_lanes(self):
+        # >128 lanes → several grid blocks, plus padding in the last one
+        rng = np.random.default_rng(2)
+        t = date_range("2000-01-01", periods=365, freq="D")
+        spec = resample_segments(t, "MS")
+        x = rng.normal(25, 8, (365, 300)).astype(np.float32)
+        _check(x, spec, 25.0, 3, ">")
+
+    def test_nan_patterns(self):
+        t = date_range("2000-01-01", periods=365, freq="D")
+        spec = resample_segments(t, "YS")
+        x = np.full((365, 4), 30.0, dtype=np.float32)
+        x[:, 0] = np.nan                   # all-NaN lane
+        x[::2, 1] = np.nan                 # alternating NaN
+        x[100:110, 2] = np.nan             # NaN hole inside a long run
+        _check(x, spec, 25.0, 3, ">")
+
+    def test_segment_boundary_run_split(self):
+        # a 10-day run straddling Jan|Feb must split 5/5 per month
+        t = date_range("2001-01-01", periods=90, freq="D")
+        spec = resample_segments(t, "MS")
+        x = np.zeros((90, 1), dtype=np.float32)
+        x[26:36, 0] = 30.0  # Jan 27–31 (5d) + Feb 1–5 (5d)
+        cnt, wrc, wre, lng = fused_spell_stats(x, spec, thresh=25.0, window=3,
+                                               op=">", interpret=True)
+        np.testing.assert_array_equal(np.asarray(lng)[:, 0], [5, 5, 0])
+        np.testing.assert_array_equal(np.asarray(wre)[:, 0], [1, 1, 0])
+        np.testing.assert_array_equal(np.asarray(wrc)[:, 0], [5, 5, 0])
+        _check(x, spec, 25.0, 3, ">")
+
+    def test_run_shorter_than_window_ignored(self):
+        t = date_range("2001-01-01", periods=31, freq="D")
+        spec = resample_segments(t, "MS")
+        x = np.zeros((31, 1), dtype=np.float32)
+        x[5:7, 0] = 30.0  # 2-day run < window=3
+        cnt, wrc, wre, lng = fused_spell_stats(x, spec, thresh=25.0, window=3,
+                                               op=">", interpret=True)
+        assert np.asarray(cnt)[0, 0] == 2
+        assert np.asarray(wrc)[0, 0] == 0
+        assert np.asarray(wre)[0, 0] == 0
+        assert np.asarray(lng)[0, 0] == 2
+
+
+class TestDispatch:
+    """Indicators must produce identical results through the Pallas and XLA
+    paths (VERDICT r1 #2: capability-based dual-path dispatch; precedent is
+    the reference's use_ufunc, xclim:run_length.py:33-79)."""
+
+    def _tasmax(self, nd=2):
+        from xclim_tpu.core.dataarray import ClimArray
+
+        rng = np.random.default_rng(3)
+        t = date_range("2000-01-01", periods=730, freq="D")
+        shape = (730,) if nd == 1 else (730, 3, 5)
+        v = rng.normal(297, 8, shape).astype(np.float32)
+        v.reshape(730, -1)[10, 0] = np.nan
+        dims = ("time",) if nd == 1 else ("time", "lat", "lon")
+        coords = {"time": t}
+        if nd > 1:
+            coords["lat"] = np.arange(3)
+            coords["lon"] = np.arange(5)
+        return ClimArray(jnp.asarray(v), dims, coords, {"units": "K"},
+                         "tasmax")
+
+    @pytest.mark.parametrize("indicator,kw", [
+        ("tx_days_above", {"thresh": "300 K"}),
+        ("hot_spell_frequency", {"thresh": "300 K", "window": 3}),
+        ("hot_spell_max_length", {"thresh": "300 K", "window": 3}),
+        ("hot_spell_total_length", {"thresh": "300 K", "window": 3}),
+        ("heat_wave_index", {"thresh": "300 K", "window": 5}),
+    ])
+    @pytest.mark.parametrize("nd", [1, 2])
+    def test_indicator_both_paths(self, indicator, kw, nd):
+        import xclim_tpu.indices as xi
+
+        fn = getattr(xi, indicator)
+        da = self._tasmax(nd)
+        set_pallas_mode("off")
+        ref = np.asarray(fn(da, freq="MS", **kw).data)
+        set_pallas_mode("interpret")
+        got = np.asarray(fn(da, freq="MS", **kw).data)
+        np.testing.assert_allclose(got, ref, err_msg=indicator)
+
+    def test_dispatch_counts_recorded(self):
+        from xclim_tpu.ops.pallas.capability import dispatch_counts
+        import xclim_tpu.indices as xi
+
+        da = self._tasmax(1)
+        set_pallas_mode("interpret")
+        before = dispatch_counts["pallas"]
+        xi.tx_days_above(da, thresh="300 K", freq="YS")
+        assert dispatch_counts["pallas"] > before
+
+    def test_mode_off_uses_xla(self):
+        from xclim_tpu.ops.pallas import capability
+
+        set_pallas_mode("off")
+        assert capability.pallas_mode() == "off"
+
+    def test_env_override(self, monkeypatch):
+        from xclim_tpu.ops.pallas import capability
+
+        set_pallas_mode(None)
+        monkeypatch.setenv("XCLIM_TPU_PALLAS", "interpret")
+        assert capability.pallas_mode() == "interpret"
+        set_pallas_mode(None)
+        monkeypatch.setenv("XCLIM_TPU_PALLAS", "0")
+        assert capability.pallas_mode() == "off"
+
+    def test_probe_on_cpu_is_off(self, monkeypatch):
+        from xclim_tpu.ops.pallas import capability
+
+        set_pallas_mode(None)
+        monkeypatch.delenv("XCLIM_TPU_PALLAS", raising=False)
+        assert capability.pallas_mode() == "off"  # CPU can't compile Mosaic

@@ -174,10 +174,44 @@ def threshold_count(da: ClimArray, op: str, threshold, freq: str,
     if constrain is None:
         constrain = (">", "<", ">=", "<=")
     thresh = _thresh(threshold, da)
+    get_op(op, constrain)  # validate op before any dispatch
+    out = _pallas_threshold_count(da, op, thresh, freq)
+    if out is not None:
+        return out
     c = compare(da, op, thresh, constrain)
     # NaN input → not counted, but all-NaN handled by missing masks
     out = c.astype(jnp.float32).resample(freq).sum()
     return out
+
+
+def _pallas_threshold_count(da: ClimArray, op: str, thresh, freq: str):
+    """Fused comparison+count through the Pallas spell kernel when the
+    backend compiles Mosaic; None → XLA fallback. Scalar thresholds only
+    (array thresholds, e.g. doy percentiles, take the XLA path)."""
+    if not np.isscalar(thresh) or op not in (">", "<", ">=", "<=",
+                                             "gt", "lt", "ge", "le"):
+        return None
+    from xclim_tpu.ops.pallas.capability import dispatch_counts, pallas_mode
+
+    mode = pallas_mode()
+    if mode == "off":
+        return None
+    from xclim_tpu.core.calendar import resample_segments
+    from xclim_tpu.ops.pallas.spells import fused_spell_stats
+
+    spec = resample_segments(da.time, freq)
+    ax = da.time_axis
+    xf = jnp.moveaxis(da.data.astype(jnp.float32), ax, 0)
+    T = xf.shape[0]
+    cnt, _, _, _ = fused_spell_stats(xf.reshape(T, -1), spec,
+                                     thresh=float(thresh), window=1, op=op,
+                                     interpret=(mode == "interpret"))
+    dispatch_counts["pallas"] += 1
+    out_data = jnp.moveaxis(cnt.reshape((spec.nseg,) + xf.shape[1:]), 0, ax)
+    coords = dict(da.coords)
+    coords["time"] = spec.labels
+    res = ClimArray(out_data, da.dims, coords, dict(da.attrs), da.name)
+    return res
 
 
 def domain_count(da: ClimArray, low, high, freq: str) -> ClimArray:

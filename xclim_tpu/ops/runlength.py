@@ -183,9 +183,41 @@ def rle_statistics(x, reducer: str, window: int, axis: int = 0,
     return jnp.where(hits, stat, 0.0)
 
 
+def _pallas_spell(x, window, axis, spec, resample_before_rl, what):
+    """Route a spell statistic through the fused Pallas kernel when the
+    backend can compile Mosaic (capability probe); return None to fall back
+    to the XLA path. The kernel implements resample-before-rl semantics on a
+    contiguous segmentation — exactly the `spec is not None,
+    resample_before_rl=True` case of the callers."""
+    if spec is None or not resample_before_rl:
+        return None
+    from xclim_tpu.ops.pallas.capability import dispatch_counts, pallas_mode
+
+    mode = pallas_mode()
+    if mode == "off":
+        dispatch_counts["xla"] += 1
+        return None
+    from xclim_tpu.ops.pallas.spells import fused_spell_stats
+
+    b = _as_bool(x).astype(jnp.float32)
+    bf = jnp.moveaxis(b, axis, 0)
+    T = bf.shape[0]
+    shape_sp = bf.shape[1:]
+    flat = bf.reshape(T, -1)
+    cnt, wrc, wre, lng = fused_spell_stats(
+        flat, spec, thresh=0.5, window=window, op=">",
+        interpret=(mode == "interpret"))
+    out = {"cnt": cnt, "wrc": wrc, "wre": wre, "lng": lng}[what]
+    dispatch_counts["pallas"] += 1
+    return jnp.moveaxis(out.reshape((spec.nseg,) + shape_sp), 0, axis)
+
+
 def longest_run(x, axis: int = 0, spec: SegmentSpec | None = None, index: str = "first",
                 resample_before_rl: bool = True):
     """Length of the longest run of True values (xclim :338)."""
+    out = _pallas_spell(x, 1, axis, spec, resample_before_rl, "lng")
+    if out is not None:
+        return out
     return rle_statistics(x, "max", 1, axis=axis, spec=spec, index=index,
                           resample_before_rl=resample_before_rl)
 
@@ -195,6 +227,9 @@ def windowed_run_count(x, window: int, axis: int = 0, spec: SegmentSpec | None =
     """Total days inside runs of at least `window` (xclim :437)."""
     if window == 1 and spec is None:
         return _as_bool(x).sum(axis=axis)
+    out = _pallas_spell(x, window, axis, spec, resample_before_rl, "wrc")
+    if out is not None:
+        return out
     d = rle(x, axis=axis, index=index,
             reset_spec=spec if resample_before_rl else None)
     d = jnp.where(jnp.nan_to_num(d, nan=0.0) >= window, d, 0.0)
@@ -204,6 +239,9 @@ def windowed_run_count(x, window: int, axis: int = 0, spec: SegmentSpec | None =
 def windowed_run_events(x, window: int, axis: int = 0, spec: SegmentSpec | None = None,
                         index: str = "first", resample_before_rl: bool = True):
     """Number of distinct runs of at least `window` (xclim :381)."""
+    out = _pallas_spell(x, window, axis, spec, resample_before_rl, "wre")
+    if out is not None:
+        return out
     b = _as_bool(x)
     if window == 1:
         bf = jnp.moveaxis(b, axis, 0)
