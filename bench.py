@@ -1,7 +1,7 @@
 """Benchmark: north-star metric from BASELINE.json — grid-cell-days/sec/chip on
 tx90p with the full Zhang-2005 iterated bootstrap (config #3).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Algorithm (TPU-native, exact to reference semantics within float32):
   * doy-window samples gathered once into a (doy, year, window, cell) tensor
@@ -17,25 +17,32 @@ Algorithm (TPU-native, exact to reference semantics within float32):
     dispatches) to stay inside the experimental TPU backend's program-size
     limits
 
-Kernel choice, measured on one TPU chip at 30y × 4096 cells:
-  full re-sort per pair          347k cell-days/s   (fallback path)
-  rank-update binary search       27k cell-days/s   (gathers are TPU-hostile)
-  top-k candidates             1,056k cell-days/s   (this path)
-
-vs_baseline: ratio to an estimated reference throughput. The reference (xclim
-on CPU/dask) cannot run in this image (no xarray); the baseline is estimated by
-timing a faithful single-core numpy implementation of the reference algorithm
-(full per-pair nanquantile recompute, as xclim does) and scaling by 64 cores at
-70% parallel efficiency — a generous stand-in for "dask on a 64-core node"
-(BASELINE.md).
+Methodology (pinned in round 2 per VERDICT #3):
+  * device timings are the MEDIAN OF 5 runs, synced with a device-side
+    scalar fetch (never np.asarray — the tunnel transfer would dominate)
+  * every config gets a `baseline` block: a fixed-seed single-core numpy
+    implementation of the reference algorithm (tools/baselines.py, using the
+    reference's own sort-based Hyndman-Fan quantile, xclim:core/utils.py:494),
+    with raw seconds and the measured problem fraction recorded;
+    `vs_baseline` = device / (1-core × 64 × 0.7) — an estimated 64-core dask
+    node, generous to the reference since dask adds scheduler overhead the
+    pure-numpy kernels don't have
+  * the JSON records which spell engine ran (pallas_mode + dispatch counts)
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+EFFICIENCY = 64 * 0.7  # estimated 64-core dask node vs 1 numpy core
 
 
 def _tables(nyears: int):
@@ -155,95 +162,8 @@ def make_tpu_bench(nyears=30, cells=(64, 64), window=5, chunk_pairs=58,
     return run, gen, T * C
 
 
-def numpy_reference(nyears=30, cells=(2, 2), window=5, sample_years=2):
-    """Single-core numpy implementation of the reference algorithm (full
-    per-pair percentile recompute, xclim:core/bootstrapping.py:81-212) at the
-    real 30-year configuration, sampling `sample_years` of the outer loop and
-    scaling the throughput accordingly."""
-    time_idx, table, year_of_step, doy_idx = _tables(nyears)
-    T = len(time_idx)
-    n_doy = table.shape[0]
-    C = cells[0] * cells[1]
-    rng = np.random.default_rng(0)
-    x = rng.normal(295.0, 5.0, (T, C)).astype(np.float32)
-
-    tbl = table.reshape(n_doy, nyears, window)
-    D = np.where((tbl >= 0)[..., None], x[np.maximum(tbl, 0)], np.nan)
-
-    t0 = time.perf_counter()
-    out = np.zeros((nyears, C), np.float32)
-    for b in range(sample_years):
-        for o in range(nyears):
-            if o == b:
-                continue
-            Dmod = D.copy()
-            Dmod[:, b] = D[:, o]
-            flat = Dmod.reshape(n_doy, nyears * window, C)
-            per = np.nanquantile(flat, 0.9, axis=1, method="median_unbiased")
-            thresh = per[doy_idx]
-            over = (x > thresh) & (year_of_step == b)[:, None]
-            out[b] += over.sum(axis=0)
-    dt = time.perf_counter() - t0
-    # `sample_years`/`nyears` of the full job was done
-    return (T * C * sample_years / nyears) / dt
-
-
-def _measure(cells, kernel):
-    import jax
-
-    jitted, gen, cell_days = make_tpu_bench(cells=cells, kernel=kernel)
-    key = jax.random.PRNGKey(0)
-    x = gen(key)
-    x.block_until_ready()
-    r = jitted(x)
-    float(np.asarray(r[0, 0]))  # compile + warm run
-    key, sub = jax.random.split(key)
-    x = gen(sub)
-    x.block_until_ready()
-    t0 = time.perf_counter()
-    r = jitted(x)
-    float(np.asarray(r[0, 0]))  # force completion with a real fetch
-    return cell_days / (time.perf_counter() - t0)
-
-
-def main():
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-
-    value = None
-    used = None
-    for cells, kernel in [((64, 64), "topk"), ((64, 64), "sort"),
-                          ((32, 32), "sort"), ((16, 16), "sort")]:
-        try:
-            value = _measure(cells, kernel)
-            used = cells
-            break
-        except Exception:
-            continue
-    if value is None:
-        print(json.dumps({"metric": "tx90p full 30yr bootstrap",
-                          "value": 0.0, "unit": "cell-days/s",
-                          "vs_baseline": 0.0, "error": "device unavailable"}))
-        return
-
-    ref_single = numpy_reference(cells=(2, 2), sample_years=2)
-    baseline = ref_single * 64 * 0.7  # estimated 64-core dask node
-    print(json.dumps({
-        "metric": f"grid-cell-days/sec/chip, tx90p full 30yr bootstrap "
-                  f"({used[0] * used[1]} cells)",
-        "value": round(value, 1),
-        "unit": "cell-days/s",
-        "vs_baseline": round(value / baseline, 2),
-    }))
-
-
-
-
 # ---------------------------------------------------------------------------
-# Full BASELINE.md config sweep: `python bench.py --all`
-# (the driver's default invocation still prints exactly one JSON line above)
+# timing helpers
 # ---------------------------------------------------------------------------
 
 
@@ -257,29 +177,100 @@ def _sync_scalar(o):
     return float(jnp.ravel(d)[0])
 
 
-def _time_climarray(fn, *args, reps=1, **kwargs):
-    """Warm (compile) + timed call of a ClimArray-level function."""
-    r = fn(*args, **kwargs)
-    for o in (r if isinstance(r, (tuple, list)) else [r]):
-        _sync_scalar(o)
-    t0 = time.perf_counter()
+def _median5(call, sync=None, reps=5):
+    """Warm (compile) + median-of-`reps` timed calls."""
+    sync = sync or (lambda r: [_sync_scalar(o) for o in
+                               (r if isinstance(r, (tuple, list)) else [r])])
+    r = call()
+    sync(r)
+    ts = []
     for _ in range(reps):
-        r = fn(*args, **kwargs)
-        for o in (r if isinstance(r, (tuple, list)) else [r]):
-            _sync_scalar(o)
-    return (time.perf_counter() - t0) / reps
+        t0 = time.perf_counter()
+        r = call()
+        sync(r)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)), ts
 
 
-def bench_all():
+def _baseline_block(name, **kw):
+    import baselines
+
+    cd_s, sec, frac = baselines.ALL[name](**kw)
+    return {"numpy_1core_cd_s": round(cd_s, 1),
+            "numpy_seconds": round(sec, 3),
+            "fraction_measured": frac,
+            "est_64core_cd_s": round(cd_s * EFFICIENCY, 1)}
+
+
+def _setup_jax():
     import jax
-    import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    return jax
+
+
+# ---------------------------------------------------------------------------
+# default driver invocation: the tx90p bootstrap north star, one JSON line
+# ---------------------------------------------------------------------------
+
+
+def _measure_bootstrap(cells, kernel, reps=5):
+    import jax
+
+    jitted, gen, cell_days = make_tpu_bench(cells=cells, kernel=kernel)
+    key = jax.random.PRNGKey(0)
+    x = gen(key)
+    x.block_until_ready()
+    med, ts = _median5(lambda: jitted(x),
+                       sync=lambda r: _sync_scalar(r), reps=reps)
+    return cell_days / med, ts
+
+
+def main():
+    _setup_jax()
+
+    value = None
+    used = None
+    for cells, kernel in [((64, 64), "topk"), ((64, 64), "sort"),
+                          ((32, 32), "sort"), ((16, 16), "sort")]:
+        try:
+            value, _ = _measure_bootstrap(cells, kernel)
+            used = cells
+            break
+        except Exception:
+            continue
+    if value is None:
+        print(json.dumps({"metric": "tx90p full 30yr bootstrap",
+                          "value": 0.0, "unit": "cell-days/s",
+                          "vs_baseline": 0.0, "error": "device unavailable"}))
+        return
+
+    base = _baseline_block("tx90p_bootstrap", reps=2)
+    print(json.dumps({
+        "metric": f"grid-cell-days/sec/chip, tx90p full 30yr bootstrap "
+                  f"({used[0] * used[1]} cells)",
+        "value": round(value, 1),
+        "unit": "cell-days/s",
+        "vs_baseline": round(value / base["est_64core_cd_s"], 2),
+        "baseline": base,
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Full BASELINE.md config sweep: `python bench.py --all`
+# (the driver's default invocation still prints exactly one JSON line above)
+# ---------------------------------------------------------------------------
+
+
+def bench_all():
+    jax = _setup_jax()
+    import jax.numpy as jnp
 
     from xclim_tpu import climjit, indices
     from xclim_tpu.core.calendar import date_range
     from xclim_tpu.core.dataarray import ClimArray
+    from xclim_tpu.ops.pallas.capability import dispatch_counts, pallas_mode
 
     results = []
 
@@ -293,53 +284,79 @@ def bench_all():
             coords["lon"] = np.arange(shape[2])
         return ClimArray(v, dims, coords, {"units": units}, name)
 
-    # 1. tg_mean monthly, 10y daily 64x64
+    # 0. tunnel dispatch floor: a trivial jitted program round-trip
     try:
-        t = date_range("2000-01-01", periods=3650, freq="D", calendar="noleap")
-        tas = mk(0, (3650, 64, 64), 285.0, 5.0, "K", "tas", t)
-        f = climjit(indices.tg_mean)
-        dt = _time_climarray(f, tas, freq="MS")
-        results.append({"config": "tg_mean monthly 64x64 10y",
-                        "value": round(3650 * 64 * 64 / dt, 1),
-                        "unit": "cell-days/s"})
+        g = jax.jit(lambda a: a + 1)
+        x0 = jnp.zeros((8, 128))
+        floor_med, _ = _median5(lambda: g(x0), sync=_sync_scalar)
+        results.append({"config": "trivial dispatch floor",
+                        "value": round(floor_med * 1e3, 2), "unit": "ms"})
     except Exception as e:
-        results.append({"config": "tg_mean", "error": str(e)[:120]})
+        results.append({"config": "dispatch floor", "error": str(e)[:120]})
+
+    # 1. tg_mean monthly, 10y daily — 64x64 (BASELINE config) + saturated
+    base1 = _baseline_block("tg_mean")
+    for size in (64, 512):
+        try:
+            t = date_range("2000-01-01", periods=3650, freq="D",
+                           calendar="noleap")
+            tas = mk(0, (3650, size, size), 285.0, 5.0, "K", "tas", t)
+            _sync_scalar(tas.data)
+            f = climjit(indices.tg_mean)
+            med, ts = _median5(lambda: f(tas, freq="MS"))
+            cd = 3650 * size * size
+            results.append({
+                "config": f"tg_mean monthly {size}x{size} 10y",
+                "value": round(cd / med, 1),
+                "unit": "cell-days/s",
+                "vs_baseline": round(cd / med / base1["est_64core_cd_s"], 2),
+                "baseline": base1,
+                "runs_ms": [round(x * 1e3, 1) for x in ts],
+                "note": ("64x64 sits at the tunnel's per-dispatch floor "
+                         "(see 'trivial dispatch floor'); the saturated size "
+                         "shows kernel throughput" if size == 64 else
+                         "saturated grid"),
+            })
+        except Exception as e:
+            results.append({"config": f"tg_mean {size}", "error": str(e)[:120]})
 
     # 2. spell kernels on 100x100 daily 10y
     try:
+        base2 = _baseline_block("spells")
         t = date_range("2000-01-01", periods=3650, freq="D", calendar="noleap")
         tx = mk(1, (3650, 100, 100), 290.0, 8.0, "K", "tasmax", t)
         tn = mk(2, (3650, 100, 100), 280.0, 8.0, "K", "tasmin", t)
         f1 = climjit(indices.tx_days_above)
         f2 = climjit(indices.heat_wave_frequency)
-        dt1 = _time_climarray(f1, tx, thresh="25 degC", freq="YS")
-        dt2 = _time_climarray(f2, tn, tx, thresh_tasmin="22 degC",
-                              thresh_tasmax="30 degC", freq="YS")
+        med1, _ = _median5(lambda: f1(tx, thresh="25 degC", freq="YS"))
+        med2, _ = _median5(lambda: f2(tn, tx, thresh_tasmin="22 degC",
+                                      thresh_tasmax="30 degC", freq="YS"))
         cells = 3650 * 100 * 100
+        val = (cells / med1 + cells / med2) / 2
         results.append({"config": "tx_days_above + heat_wave_frequency 100x100 10y",
-                        "value": round((cells / dt1 + cells / dt2) / 2, 1),
-                        "unit": "cell-days/s (mean of both)"})
+                        "value": round(val, 1),
+                        "unit": "cell-days/s (mean of both)",
+                        "vs_baseline": round(val / base2["est_64core_cd_s"], 2),
+                        "baseline": base2})
     except Exception as e:
         results.append({"config": "spells", "error": str(e)[:120]})
 
     # 3. tx90p full bootstrap — the north-star (top-k kernel)
     try:
-        jitted, gen, cell_days = make_tpu_bench(cells=(64, 64), kernel="topk")
-        x = gen(jax.random.PRNGKey(0))
-        x.block_until_ready()
-        r = jitted(x)
-        float(np.asarray(r[0, 0]))
-        t0 = time.perf_counter()
-        r = jitted(x)
-        float(np.asarray(r[0, 0]))
+        base3 = _baseline_block("tx90p_bootstrap", reps=2)
+        val, ts = _measure_bootstrap((64, 64), "topk")
         results.append({"config": "tx90p full 30y bootstrap 4096 cells",
-                        "value": round(cell_days / (time.perf_counter() - t0), 1),
-                        "unit": "cell-days/s"})
+                        "value": round(val, 1),
+                        "unit": "cell-days/s",
+                        "vs_baseline": round(val / base3["est_64core_cd_s"], 2),
+                        "baseline": base3,
+                        "runs_ms": [round(x * 1e3, 1) for x in ts]})
     except Exception as e:
         results.append({"config": "tx90p bootstrap", "error": str(e)[:120]})
 
     # 4. QDM train+adjust, dayofyear window=31, 50 quantiles, 32x32 30y
     try:
+        base4 = _baseline_block("qdm", reps=2)
         from xclim_tpu.sdba import Grouper, QuantileDeltaMapping
 
         t30 = date_range("1981-01-01", periods=30 * 365, freq="D",
@@ -353,25 +370,25 @@ def bench_all():
                 nquantiles=50, kind="+")
             return adj.adjust(hist)
 
-        out = qdm_once()
-        _sync_scalar(out)
-        t0 = time.perf_counter()
-        out = qdm_once()
-        _sync_scalar(out)
-        dt = time.perf_counter() - t0
+        med, ts = _median5(qdm_once)
+        cd = 30 * 365 * 32 * 32
         results.append({"config": "QDM train+adjust doy w31 nq50 1024 cells 30y",
-                        "value": round(30 * 365 * 32 * 32 / dt, 1),
-                        "unit": "cell-days/s"})
+                        "value": round(cd / med, 1),
+                        "unit": "cell-days/s",
+                        "vs_baseline": round(cd / med / base4["est_64core_cd_s"], 2),
+                        "baseline": base4,
+                        "runs_ms": [round(x * 1e3, 1) for x in ts]})
     except Exception as e:
         results.append({"config": "QDM", "error": str(e)[:160]})
 
-    # 5. ensembles: 30-member percentiles + robustness 64x64
+    # 5. ensembles: 30-member percentiles + robustness, continental grid
     try:
+        ny, nx = 128, 256  # ~continental 0.25 deg
+        base5 = _baseline_block("ensembles", ny=ny, nx=nx)
         from xclim_tpu.ensembles import ensemble_percentiles, robustness_fractions
 
-        t1 = date_range("2000-01-01", periods=365, freq="D",
-                        calendar="noleap")
-        members = [mk(10 + i, (365, 64, 64), 285.0, 5.0, "K", "tas", t1)
+        t1 = date_range("2000-01-01", periods=365, freq="D", calendar="noleap")
+        members = [mk(10 + i, (365, ny, nx), 285.0, 5.0, "K", "tas", t1)
                    for i in range(30)]
         from xclim_tpu.core.dataarray import concat
 
@@ -384,21 +401,25 @@ def bench_all():
             rf = robustness_fractions(fut, hist_, test="ttest")
             return p, rf["changed"]
 
-        def sync(p, c):
+        def sync(r):
+            p, c = r
             _sync_scalar(next(iter(p.values())))
             _sync_scalar(c)
 
-        p, c = ens_once()
-        sync(p, c)
-        t0 = time.perf_counter()
-        p, c = ens_once()
-        sync(p, c)
-        dt = time.perf_counter() - t0
-        results.append({"config": "ensemble percentiles+robustness 30 members 64x64",
-                        "value": round(30 * 365 * 64 * 64 / dt, 1),
-                        "unit": "member-cell-days/s"})
+        med, ts = _median5(ens_once, sync=sync)
+        cd = 30 * 365 * ny * nx
+        results.append({"config": f"ensemble percentiles+robustness 30 members {ny}x{nx}",
+                        "value": round(cd / med, 1),
+                        "unit": "member-cell-days/s",
+                        "vs_baseline": round(cd / med / base5["est_64core_cd_s"], 2),
+                        "baseline": base5,
+                        "runs_ms": [round(x * 1e3, 1) for x in ts]})
     except Exception as e:
         results.append({"config": "ensembles", "error": str(e)[:160]})
+
+    results.append({"config": "spell engine",
+                    "pallas_mode": pallas_mode(),
+                    "dispatch_counts": dict(dispatch_counts)})
 
     for r in results:
         print(json.dumps(r))
@@ -408,8 +429,6 @@ def bench_all():
 
 
 if __name__ == "__main__":
-    import sys
-
     if "--all" in sys.argv:
         bench_all()
     else:

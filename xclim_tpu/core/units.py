@@ -244,7 +244,11 @@ def parse_units(s) -> Units:
     last_dims = None
     for gi, grp in enumerate(groups):
         sign = 1 if gi == 0 else -1
-        grp = grp.replace("·", " ").replace("*", " ")
+        # normalize '**' exponents to '^' BEFORE single '*' becomes a
+        # multiplication separator ('kg/m**2/s' must keep m's exponent);
+        # parentheses are group separators under the a/b/c == a/(b)/(c) rule
+        grp = (grp.replace("**", "^").replace("·", " ").replace("*", " ")
+               .replace("(", " ").replace(")", " "))
         # numeric scalars with a decimal point or scientific notation
         # ('0.5', '1E6', '2.5e-3') must be consumed BEFORE '.' is treated as
         # a multiplication separator and before tokenizing (else the exponent
@@ -700,14 +704,33 @@ def _sampling_seconds(da) -> np.ndarray:
 
 def rate2amount(rate, out_units: str | None = None):
     """Rate → amount by multiplying with each timestep's duration
-    (xclim:core/units.py:854). Non-uniform steps (months) are handled exactly."""
+    (xclim:core/units.py:854). Non-uniform steps (months) are handled exactly.
+
+    The duration is expressed in the rate's own time denominator ('d' for
+    mm/d) so the amount unit cancels cleanly (mm/d × 1 d → mm, not the
+    unsimplified mm·s/d the naive seconds product would produce)."""
     dt = _sampling_seconds(rate)  # (T,)
     taxis = rate.dims.index("time")
     shape = [1] * rate.data.ndim
     shape[taxis] = len(dt)
     u = units2pint(rate)
-    amount_u = u * parse_units("s")
-    data = rate.data * dt.reshape(shape).astype(np.float32)
+    time_sym = None
+    for sym, exp in u.symbols:
+        if exp < 0:
+            try:
+                sc, off, dims, _canon = _resolve_symbol(sym)
+            except UnitError:
+                continue
+            if dims == _dv(T=1) and off == 0.0:
+                time_sym = (sym, sc)
+                break
+    if time_sym is not None:
+        sym, sc = time_sym
+        amount_u = u * parse_units(sym)
+        data = rate.data * (dt / sc).reshape(shape).astype(np.float32)
+    else:
+        amount_u = u * parse_units("s")
+        data = rate.data * dt.reshape(shape).astype(np.float32)
     out = rate.copy(data=data)
     out.attrs = dict(rate.attrs)
     out.attrs["units"] = amount_u.to_cf()

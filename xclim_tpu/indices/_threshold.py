@@ -112,7 +112,10 @@ __all__ = [
 def _doy_attrs(da):
     from xclim_tpu.core.calendar import get_calendar
 
-    return {"units": "", "is_dayofyear": np.int32(1), "calendar": get_calendar(da)}
+    # day-of-year outputs carry units "1" (xclim:tests/test_indices.py
+    # TestLastSpringFrost / TestFirstDayBelow assert this exact value)
+    return {"units": "1", "is_dayofyear": np.int32(1),
+            "calendar": get_calendar(da)}
 
 
 # ---------------------------------------------------------------------------
@@ -452,7 +455,7 @@ def cooling_degree_days_approximation(tasmax: ClimArray, tasmin: ClimArray,
 @declare_units(tasmax="[temperature]", tasmin="[temperature]", tas="[temperature]",
                thresh="[temperature]")
 def heating_degree_days_approximation(tasmax: ClimArray, tasmin: ClimArray,
-                                      tas: ClimArray, thresh: str = "18 degC",
+                                      tas: ClimArray, thresh: str = "17.0 degC",
                                       freq: str = "YS") -> ClimArray:
     """UK Met Office HDD approximation (xclim:_threshold.py:2070)."""
     t = convert_units_to(str2pint(thresh), tasmax)
