@@ -453,7 +453,7 @@ class Resampler:
         self.freq = freq
         self.spec = resample_segments(da.time, freq)
 
-    def _apply(self, op, **kw):
+    def _apply(self, op, keep_attrs=False, **kw):
         from xclim_tpu.ops.segments import segment_reduce
 
         da = self.da
@@ -461,28 +461,29 @@ class Resampler:
         data = segment_reduce(da.data, self.spec, op, axis=ax, **kw)
         coords = dict(da.coords)
         coords["time"] = self.spec.labels
-        return ClimArray(data, da.dims, coords, {}, da.name)
+        attrs = dict(da.attrs) if keep_attrs else {}
+        return ClimArray(data, da.dims, coords, attrs, da.name)
 
-    def mean(self):
-        return self._apply("mean")
+    def mean(self, keep_attrs=False):
+        return self._apply("mean", keep_attrs=keep_attrs)
 
-    def sum(self):
-        return self._apply("sum")
+    def sum(self, keep_attrs=False):
+        return self._apply("sum", keep_attrs=keep_attrs)
 
-    def max(self):
-        return self._apply("max")
+    def max(self, keep_attrs=False):
+        return self._apply("max", keep_attrs=keep_attrs)
 
-    def min(self):
-        return self._apply("min")
+    def min(self, keep_attrs=False):
+        return self._apply("min", keep_attrs=keep_attrs)
 
-    def std(self):
-        return self._apply("std")
+    def std(self, keep_attrs=False):
+        return self._apply("std", keep_attrs=keep_attrs)
 
-    def var(self):
-        return self._apply("var")
+    def var(self, keep_attrs=False):
+        return self._apply("var", keep_attrs=keep_attrs)
 
-    def median(self):
-        return self._apply("median")
+    def median(self, keep_attrs=False):
+        return self._apply("median", keep_attrs=keep_attrs)
 
     def count(self):
         return self._apply("count")
