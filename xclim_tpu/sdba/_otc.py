@@ -121,11 +121,16 @@ class OTC:
 
 class dOTC:
     """Dynamical OTC: transfer the hist→sim evolution onto ref
-    (xsdba.dOTC; Robin et al. 2019).
+    (xsdba.dOTC; Robin, Vrac & Naveau 2019, HESS 23:773-786).
 
-    Each sim step receives the transport displacement of its nearest hist
-    sample, so the simulated change signal is preserved while the base
-    distribution is mapped onto ref's.
+    The published three-plan construction:
+      1. plan(hist → sim) gives each hist sample's evolution
+         ``v_i = T₀₁(x0_i) − x0_i`` (ratio for ``kind='*'``);
+      2. plan(ref → hist) carries those evolutions onto ref,
+         ``Y1 = Y0 ∘ v`` — the reference evolved by the model's change;
+      3. OTC maps sim onto the evolved reference Y1.
+    The scen therefore has ref's (evolved) multivariate distribution while
+    preserving the model's hist→sim change signal.
     """
 
     @classmethod
@@ -134,23 +139,36 @@ class dOTC:
                kind: str = "+", key=None) -> ClimArray:
         if key is None:
             key = jax.random.PRNGKey(0)
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3 = jax.random.split(key, 3)
         Xr, _ = _to_points(ref, max_points, k1)
         Xh, _ = _to_points(hist, max_points, k2)
+        Xs, _ = _to_points(sim, max_points, k3)
         Xs_full = jnp.moveaxis(sim.data, 0, -1) if sim.dims[0] == "multivar" \
             else (sim.data[:, None] if sim.data.ndim == 1 else sim.data)
         mu, sd = _standardizer(jnp.concatenate([Xr, Xh], axis=0))
-        P = optimal_transport_plan((Xh - mu) / sd, (Xr - mu) / sd,
-                                   reg=reg, n_iter=n_iter)
-        mapped = _barycentric_map(P, (Xr - mu) / sd) * sd + mu  # T(h_i)
+        std = lambda X: (X - mu) / sd
+
+        # 1. model evolution per hist sample: T01(x0_i) − x0_i
+        P01 = optimal_transport_plan(std(Xh), std(Xs), reg=reg, n_iter=n_iter)
+        mapped01 = _barycentric_map(P01, std(Xs)) * sd + mu
         if kind == "*":
-            factor = mapped / jnp.where(Xh == 0, jnp.nan, Xh)
+            v = mapped01 / jnp.where(Xh == 0, jnp.nan, Xh)
         else:
-            factor = mapped - Xh  # displacement v_i
-        # nearest hist sample for each sim step
-        d2 = _cost(Xs_full, Xh)
+            v = mapped01 - Xh
+
+        # 2. carry the evolution onto ref through plan(ref → hist)
+        Pr0 = optimal_transport_plan(std(Xr), std(Xh), reg=reg, n_iter=n_iter)
+        v_ref = _barycentric_map(Pr0, v)
+        Y1 = Xr * v_ref if kind == "*" else Xr + v_ref
+
+        # 3. OTC: map sim onto the evolved reference
+        mu1, sd1 = _standardizer(jnp.concatenate([Y1, Xs], axis=0))
+        P1 = optimal_transport_plan((Xs - mu1) / sd1, (Y1 - mu1) / sd1,
+                                    reg=reg, n_iter=n_iter)
+        mapped_sub = _barycentric_map(P1, (Y1 - mu1) / sd1) * sd1 + mu1
+        d2 = _cost(Xs_full, Xs)
         nn = jnp.argmin(d2, axis=1)
-        out_pts = Xs_full * factor[nn] if kind == "*" else Xs_full + factor[nn]
+        out_pts = mapped_sub[nn]
         out = jnp.moveaxis(out_pts, -1, 0) if sim.dims[0] == "multivar" \
             else out_pts[:, 0]
         res = sim.copy(data=out.reshape(sim.shape))
