@@ -5,13 +5,15 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Algorithm (TPU-native, exact to reference semantics within float32):
   * doy-window samples gathered once into a (doy, year, window, cell) tensor
-  * top-k candidate kernel (ops/bootstrap.py topk_replaced_year_quantile):
-    the base sample set's top-24 values are extracted ONCE per cell with year
-    tags; each of the Y×(Y-1) year replacements then only masks the removed
-    year's entries, appends the added year's window samples and takes a
-    16-of-29 top_k — exact Hyndman-Fan quantiles without ever re-sorting the
-    150-sample set. The reference re-sorts per pair through percentile_doy
-    (xclim:core/bootstrapping.py:195-201).
+  * merge-rank candidate kernel (ops/bootstrap.py
+    merge_rank_replaced_year_quantile): the base sample set's top-22 values
+    are extracted ONCE per cell with year tags; each of the Y×(Y-1) year
+    replacements recovers the exact Hyndman-Fan order statistics by rank
+    arithmetic over (table ∖ removed year) ∪ added window — one small
+    comparison matrix, no per-pair sort at all. The reference re-sorts the
+    150-sample set per pair through percentile_doy
+    (xclim:core/bootstrapping.py:195-201); 'topk' (per-pair top_k) and
+    'sort' (full re-sort) remain as fallbacks, 13× and ~40× slower on chip.
   * per pair, exceedances are counted only over the replaced year's days
   * pairs run in fixed-size lax.scan chunks (one compiled program, few
     dispatches) to stay inside the experimental TPU backend's program-size
@@ -64,6 +66,7 @@ def make_tpu_bench(nyears=30, cells=(64, 64), window=5, chunk_pairs=58,
     import jax.numpy as jnp
 
     from xclim_tpu.ops.bootstrap import (
+        merge_rank_replaced_year_quantile,
         topk_capacity,
         topk_rank_tables,
         topk_replaced_year_quantile,
@@ -94,7 +97,9 @@ def make_tpu_bench(nyears=30, cells=(64, 64), window=5, chunk_pairs=58,
     chunks = jnp.asarray(pairs.reshape(nchunks, chunk_pairs, 2))
     K = topk_capacity(N, window, 0.9)
 
-    if kernel == "topk":
+    if kernel in ("topk", "merge"):
+        qkern = (topk_replaced_year_quantile if kernel == "topk"
+                 else merge_rank_replaced_year_quantile)
 
         @jax.jit
         def prepare(xx):
@@ -109,7 +114,7 @@ def make_tpu_bench(nyears=30, cells=(64, 64), window=5, chunk_pairs=58,
         def chunk_fn(Dt, Xy, topv, topyear, botv, botyear, nvalid, pair_chunk):
             def pair_step(acc, bo):
                 b, o = bo[0], bo[1]
-                per = topk_replaced_year_quantile(
+                per = qkern(
                     topv, topyear, botv, botyear, nvalid,
                     jnp.take(Dt, b, axis=2), jnp.take(Dt, o, axis=2), b, 0.9)
                 xb = jnp.take(Xy, b, axis=0)     # (n_doy, C)
@@ -232,8 +237,9 @@ def main():
 
     value = None
     used = None
-    for cells, kernel in [((64, 64), "topk"), ((64, 64), "sort"),
-                          ((32, 32), "sort"), ((16, 16), "sort")]:
+    for cells, kernel in [((64, 64), "merge"), ((64, 64), "topk"),
+                          ((64, 64), "sort"), ((32, 32), "sort"),
+                          ((16, 16), "sort")]:
         try:
             value, _ = _measure_bootstrap(cells, kernel)
             used = cells
@@ -341,10 +347,10 @@ def bench_all():
     except Exception as e:
         results.append({"config": "spells", "error": str(e)[:120]})
 
-    # 3. tx90p full bootstrap — the north-star (top-k kernel)
+    # 3. tx90p full bootstrap — the north-star (merge-rank kernel)
     try:
         base3 = _baseline_block("tx90p_bootstrap", reps=2)
-        val, ts = _measure_bootstrap((64, 64), "topk")
+        val, ts = _measure_bootstrap((64, 64), "merge")
         results.append({"config": "tx90p full 30y bootstrap 4096 cells",
                         "value": round(val, 1),
                         "unit": "cell-days/s",

@@ -135,3 +135,35 @@ class TestIndexing:
         tn = tasmin_series(vals, start="2001-01-01")
         out = atmos.frost_days(tn, freq="YS", month=1)
         assert out.values[0] == 31
+
+
+class TestDictBatchApply:
+    """dict-of-datasets mapping — the analogue of the reference's DataTree
+    dispatch (xclim:core/indicator.py:858-877)."""
+
+    def test_tree_map(self):
+        from xclim_tpu.core.dataarray import ClimDataset
+        from xclim_tpu.testing.helpers import generate_atmos
+
+        tree = {"m1": generate_atmos(0, nyears=2),
+                "m2": generate_atmos(1, nyears=2),
+                "empty": ClimDataset()}
+        res = atmos.tg_mean(ds=tree, tas="tas", freq="YS")
+        assert set(res) == {"m1", "m2", "empty"}
+        assert "tg_mean" in res["m1"] and "tg_mean" in res["m2"]
+        assert len(res["empty"]) == 0
+        v1 = np.asarray(res["m1"]["tg_mean"].values)
+        v2 = np.asarray(res["m2"]["tg_mean"].values)
+        assert v1.shape == (2,) and not np.allclose(v1, v2)
+
+    def test_matches_single_call(self, tas_series):
+        from xclim_tpu.core.dataarray import ClimDataset
+
+        tas = tas_series(np.random.default_rng(3).normal(283, 4, 730),
+                         start="2001-01-01")
+        ds = ClimDataset({"tas": tas})
+        tree_out = atmos.tg_mean(ds={"only": ds}, tas="tas", freq="MS")
+        single = atmos.tg_mean(tas, freq="MS")
+        np.testing.assert_allclose(
+            np.asarray(tree_out["only"]["tg_mean"].values),
+            np.asarray(single.values))

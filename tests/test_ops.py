@@ -194,3 +194,50 @@ class TestRunLength:
         x = jnp.stack([jnp.array([1, 1, 1, 0, 0]), jnp.array([0, 1, 0, 1, 1])], axis=1).astype(bool)
         out = np.asarray(rl.longest_run(x))
         np.testing.assert_allclose(out, [3, 2])
+
+
+class TestMergeRankBootstrapKernel:
+    """merge_rank_replaced_year_quantile must be bit-identical to the full
+    re-sort ground truth (the reference's per-pair percentile_doy recompute,
+    xclim:core/bootstrapping.py:195-201) across NaN patterns, ties and
+    quantile regimes."""
+
+    @pytest.mark.parametrize("q", [0.9, 0.1, 0.5])
+    @pytest.mark.parametrize("mode", ["plain", "nans", "ties", "dead_lane"])
+    def test_vs_full_resort(self, q, mode):
+        from xclim_tpu.ops.bootstrap import (
+            merge_rank_replaced_year_quantile,
+            topk_capacity,
+            topk_rank_tables,
+        )
+        from xclim_tpu.ops.quantile import nan_quantile
+
+        rng = np.random.default_rng(hash((q, mode)) % 2**32)
+        Y, w, C = 6, 5, 48
+        N = Y * w
+        D = rng.normal(0, 1, (Y, w, C)).astype(np.float32)
+        if mode == "nans":
+            D[rng.random((Y, w, C)) < 0.2] = np.nan
+        elif mode == "ties":
+            D = np.round(D * 2) / 2
+        elif mode == "dead_lane":
+            D[:, :, 0] = np.nan
+        flat = D.reshape(N, C)
+        year_id = np.arange(Y).repeat(w)
+        K = topk_capacity(N, w, q)
+        tabs = topk_rank_tables(jnp.asarray(flat), year_id, K)
+        Dt = jnp.asarray(D).transpose(2, 0, 1)
+        for b in range(Y):
+            for o in range(Y):
+                if o == b:
+                    continue
+                got = np.asarray(merge_rank_replaced_year_quantile(
+                    *tabs, Dt[:, b, :], Dt[:, o, :], b, q))
+                Dmod = D.copy()
+                Dmod[b] = D[o]
+                want = np.asarray(nan_quantile(
+                    jnp.asarray(Dmod.reshape(N, C)), jnp.asarray([q]),
+                    axis=0, alpha=1 / 3, beta=1 / 3)[0])
+                np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+                ok = ~np.isnan(want)
+                np.testing.assert_array_equal(got[ok], want[ok])

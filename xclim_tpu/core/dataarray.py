@@ -569,6 +569,9 @@ class ClimDataset:
     def __iter__(self):
         return iter(self.data_vars)
 
+    def __len__(self):
+        return len(self.data_vars)
+
     def keys(self):
         return self.data_vars.keys()
 

@@ -239,6 +239,20 @@ class Indicator:
     # call pipeline (xclim:core/indicator.py:865-945)
     # ------------------------------------------------------------------
     def __call__(self, *args, ds: ClimDataset | None = None, **kwds):
+        # dict-of-datasets batch apply: the analogue of the reference's
+        # DataTree mapping (xclim:core/indicator.py:858-877) — one indicator
+        # call per node, results returned as a dict keyed like the input.
+        if isinstance(ds, dict) and not isinstance(ds, ClimDataset):
+            from xclim_tpu.core.options import set_options
+
+            out = {}
+            with set_options(as_dataset=True):
+                for key, node in ds.items():
+                    if node is None or (hasattr(node, "keys") and not len(node)):
+                        out[key] = node  # empty node passes through
+                        continue
+                    out[key] = self(*args, ds=node, **kwds)
+            return out
         das, params = self._parse_variables_from_call(args, kwds, ds)
         self._preprocess_and_checks(das, params)
         call_kwargs = {**das}
@@ -351,6 +365,11 @@ class Indicator:
     # ------------------------------------------------------------------
     def _format_args(self, das, params):
         args = dict(params)
+        # injected parameters (YAML-module constants) participate in attr
+        # templating just like user-passed ones (xclim:core/indicator.py:1085)
+        for name, p in self.parameters.items():
+            if p.injected and name not in args:
+                args[name] = p.value
         indexer = args.pop("indexer", None) or {}
         for k, v in indexer.items():
             if v is not None:

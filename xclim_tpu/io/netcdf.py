@@ -29,6 +29,31 @@ def _decode_attr(v):
     return v
 
 
+def _mask_and_scale(data, attrs):
+    """CF packing conventions (NUG / xarray ``mask_and_scale`` semantics):
+    mask ``_FillValue``/``missing_value`` on the *packed* values (any dtype,
+    including the common short-int packing), then apply
+    ``scale_factor``/``add_offset``. Consumes the packing attrs."""
+    data = np.asarray(data)
+    fills = [attrs.pop(k, None) for k in ("_FillValue", "missing_value")]
+    fills = [np.asarray(f).item() for f in fills if f is not None]
+    scale = attrs.pop("scale_factor", None)
+    offset = attrs.pop("add_offset", None)
+    mask = None
+    if fills:
+        mask = np.zeros(data.shape, dtype=bool)
+        for f in fills:
+            mask |= data == f
+    if scale is not None or offset is not None:
+        data = data.astype(np.float32) * np.float32(scale if scale is not None else 1.0) \
+            + np.float32(offset if offset is not None else 0.0)
+    if mask is not None and mask.any():
+        if data.dtype.kind != "f":
+            data = data.astype(np.float32)
+        data = np.where(mask, np.nan, data)
+    return data
+
+
 def _is_hdf5(path) -> bool:
     with open(path, "rb") as f:
         magic = f.read(8)
@@ -83,14 +108,7 @@ def _open_h5(path, decode_times) -> ClimDataset:
             attrs = {k: _decode_attr(v) for k, v in obj.attrs.items()
                      if not k.startswith(("DIMENSION_LIST", "_Netcdf4", "CLASS",
                                           "NAME"))}
-            data = obj[()]
-            fill = attrs.pop("_FillValue", None)
-            if fill is not None and np.issubdtype(np.asarray(data).dtype, np.floating):
-                data = np.where(data == fill, np.nan, data)
-            scale = attrs.pop("scale_factor", None)
-            offset = attrs.pop("add_offset", None)
-            if scale is not None or offset is not None:
-                data = data.astype(np.float32) * (scale or 1.0) + (offset or 0.0)
+            data = _mask_and_scale(obj[()], attrs)
             coords = {}
             for d in dims:
                 if d == "time" and time_idx is not None:
@@ -128,10 +146,7 @@ def _open_nc3(path, decode_times) -> ClimDataset:
                 continue
             dims = var.dimensions
             attrs = {k: _decode_attr(v) for k, v in var._attributes.items()}
-            data = np.asarray(var[:])
-            fill = attrs.pop("_FillValue", None)
-            if fill is not None and data.dtype.kind == "f":
-                data = np.where(data == fill, np.nan, data)
+            data = _mask_and_scale(np.asarray(var[:]), attrs)
             coords = {}
             for d in dims:
                 if d == "time" and time_idx is not None:
@@ -215,10 +230,7 @@ def _open_nc3_native(path, decode_times) -> ClimDataset:
         for name, (dims, data, attrs) in allvars.items():
             if name in nc.dims:
                 continue
-            data = np.asarray(data)
-            fill = attrs.pop("_FillValue", None)
-            if fill is not None and data.dtype.kind == "f":
-                data = np.where(data == fill, np.nan, data)
+            data = _mask_and_scale(np.asarray(data), attrs)
             coords = {}
             for d in dims:
                 if d == "time" and time_idx is not None:

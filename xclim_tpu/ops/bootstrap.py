@@ -189,6 +189,101 @@ def topk_replaced_year_quantile(topv, topyear, botv, botyear, nvalid,
     return jnp.where(jnp.isinf(out), jnp.nan, out)
 
 
+def merge_rank_replaced_year_quantile(topv, topyear, botv, botyear, nvalid,
+                                      A_b, A_o, b, q: float,
+                                      alpha: float = 1 / 3, beta: float = 1 / 3):
+    """Quantile of the year-b-replaced multiset by rank merging — no per-pair
+    sort at all (the fast path behind :func:`topk_replaced_year_quantile`).
+
+    The base candidate table ``topv`` is already sorted (descending). The
+    j-th largest of (base ∖ year b) ∪ A_o is found by rank arithmetic:
+      * a kept table entry i has merged rank
+        ``i − #(year-b entries before i) + #(A_o > v_i)``;
+      * an added sample t (sorted descending) has merged rank
+        ``t + #(kept table entries > a_t)``.
+    Both counts come from one small (k × w) comparison matrix — pure VPU
+    elementwise work instead of the O(k log²k) bitonic sort `top_k` lowers
+    to on TPU (reference equivalent: the full re-sort per pair in
+    xclim:core/bootstrapping.py:195-201).
+    """
+    k = topv.shape[-1]
+    w = A_o.shape[-1]
+    jtop = k - w
+    vb = jnp.sum(~jnp.isnan(A_b), axis=-1).astype(jnp.int32)
+    vo = jnp.sum(~jnp.isnan(A_o), axis=-1).astype(jnp.int32)
+    nmod_i = nvalid - vb + vo
+    nmod = nmod_i.astype(jnp.float32)
+
+    h = nmod * q + (q * (1 - alpha - beta) + alpha) - 1.0
+    h = jnp.clip(h, 0.0, jnp.maximum(nmod - 1.0, 0.0))
+    k0 = jnp.floor(h).astype(jnp.int32)
+    gam = h - k0.astype(jnp.float32)
+    k1 = jnp.minimum(k0 + 1, jnp.maximum(nmod_i - 1, 0))
+
+    if q >= 0.5:
+        S, Sy = topv, topyear
+        a = jnp.where(jnp.isnan(A_o), -jnp.inf, A_o)
+        j0 = nmod_i - 1 - k0
+        j1 = nmod_i - 1 - k1
+        big = -jnp.inf
+        gt = lambda x, y: x > y
+    else:
+        S, Sy = botv, botyear
+        a = jnp.where(jnp.isnan(A_o), jnp.inf, A_o)
+        j0, j1 = k0, k1
+        big = jnp.inf
+        gt = lambda x, y: x < y  # "greater" = closer to the selected extreme
+
+    isb = (Sy == b)
+    # exclusive prefix count of removed entries before each table slot
+    cumb = jnp.cumsum(isb.astype(jnp.int32), axis=-1) - isb.astype(jnp.int32)
+    # sort the w added samples toward the extreme with a tiny sorting network
+    def cswap(x, i, jj):
+        xi, xj = x[..., i], x[..., jj]
+        lo_ = jnp.where(gt(xi, xj), xi, xj)
+        hi_ = jnp.where(gt(xi, xj), xj, xi)
+        return x.at[..., i].set(lo_).at[..., jj].set(hi_)
+
+    net5 = [(0, 1), (3, 4), (2, 4), (2, 3), (0, 3), (0, 2), (1, 4), (1, 3),
+            (1, 2)]
+    if w == 5:
+        for i, jj in net5:
+            a = cswap(a, i, jj)
+    else:  # generic small-w fallback: full sort
+        a = jnp.sort(a, axis=-1)
+        if q >= 0.5:
+            a = a[..., ::-1]
+
+    # one (k, w) comparison matrix serves both rank corrections; ties order
+    # kept-table entries before added samples (a strict total order, so every
+    # merged rank is hit exactly once)
+    SgeA = gt(S[..., :, None], a[..., None, :]) | (S[..., :, None] == a[..., None, :])
+    cntA_gt_S = gt(a[..., None, :], S[..., :, None]).sum(axis=-1)  # #(A > S_i)
+    cntS_ge_A = (SgeA & ~isb[..., :, None]
+                 & ~jnp.isinf(S)[..., :, None]).sum(axis=-2)       # kept ≥ a_t
+
+    rank_S = jnp.arange(k, dtype=jnp.int32) - cumb + cntA_gt_S
+    rank_S = jnp.where(isb | jnp.isinf(S), jnp.iinfo(jnp.int32).max, rank_S)
+    rank_A = jnp.arange(w, dtype=jnp.int32) + cntS_ge_A
+    rank_A = jnp.where(jnp.isinf(a), jnp.iinfo(jnp.int32).max, rank_A)
+
+    def select(j):
+        jj = j[..., None]
+        v = jnp.where(rank_S == jj, jnp.where(jnp.isinf(S), 0.0, S), 0.0
+                      ).sum(axis=-1)
+        hitS = (rank_S == jj).any(axis=-1)
+        va = jnp.where(rank_A == jj, jnp.where(jnp.isinf(a), 0.0, a), 0.0
+                       ).sum(axis=-1)
+        hitA = (rank_A == jj).any(axis=-1)
+        return jnp.where(hitS, v, va), hitS | hitA
+
+    v0, ok0 = select(jnp.clip(j0, 0, None))
+    v1, ok1 = select(jnp.clip(j1, 0, None))
+    out = v0 + gam * (v1 - v0)
+    out = jnp.where(nmod_i <= 0, jnp.nan, out)
+    return jnp.where(ok0 & ok1, out, jnp.nan)
+
+
 def topk_capacity(nmax: int, w: int, q: float) -> int:
     """Candidate-table size k guaranteeing exactness of
     :func:`topk_replaced_year_quantile` for samples of at most `nmax` valid
