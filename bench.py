@@ -300,34 +300,33 @@ def bench_all():
     except Exception as e:
         results.append({"config": "dispatch floor", "error": str(e)[:120]})
 
-    # 1. tg_mean monthly, 10y daily — 64x64 (BASELINE config) + saturated
-    base1 = _baseline_block("tg_mean")
-    for size in (64, 512):
-        try:
-            t = date_range("2000-01-01", periods=3650, freq="D",
-                           calendar="noleap")
-            tas = mk(0, (3650, size, size), 285.0, 5.0, "K", "tas", t)
-            _sync_scalar(tas.data)
-            f = climjit(indices.tg_mean)
-            med, ts = _median5(lambda: f(tas, freq="MS"))
-            cd = 3650 * size * size
-            results.append({
-                "config": f"tg_mean monthly {size}x{size} 10y",
-                "value": round(cd / med, 1),
-                "unit": "cell-days/s",
-                "vs_baseline": round(cd / med / base1["est_64core_cd_s"], 2),
-                "baseline": base1,
-                "runs_ms": [round(x * 1e3, 1) for x in ts],
-                "note": ("64x64 sits at the tunnel's per-dispatch floor "
-                         "(see 'trivial dispatch floor'); the saturated size "
-                         "shows kernel throughput" if size == 64 else
-                         "saturated grid"),
-            })
-        except Exception as e:
-            results.append({"config": f"tg_mean {size}", "error": str(e)[:120]})
+    # each config runs inside its own function so device buffers are freed
+    # when it returns — earlier rounds OOMed the chip by keeping every
+    # config's arrays alive in shared function locals
 
-    # 2. spell kernels on 100x100 daily 10y
-    try:
+    def cfg_tg_mean(size):
+        base1 = _baseline_block("tg_mean")
+        t = date_range("2000-01-01", periods=3650, freq="D",
+                       calendar="noleap")
+        tas = mk(0, (3650, size, size), 285.0, 5.0, "K", "tas", t)
+        _sync_scalar(tas.data)
+        f = climjit(indices.tg_mean)
+        med, ts = _median5(lambda: f(tas, freq="MS"))
+        cd = 3650 * size * size
+        return {
+            "config": f"tg_mean monthly {size}x{size} 10y",
+            "value": round(cd / med, 1),
+            "unit": "cell-days/s",
+            "vs_baseline": round(cd / med / base1["est_64core_cd_s"], 2),
+            "baseline": base1,
+            "runs_ms": [round(x * 1e3, 1) for x in ts],
+            "note": ("64x64 sits at the tunnel's per-dispatch floor "
+                     "(see 'trivial dispatch floor'); the saturated size "
+                     "shows kernel throughput" if size == 64 else
+                     "saturated grid"),
+        }
+
+    def cfg_spells():
         base2 = _baseline_block("spells")
         t = date_range("2000-01-01", periods=3650, freq="D", calendar="noleap")
         tx = mk(1, (3650, 100, 100), 290.0, 8.0, "K", "tasmax", t)
@@ -339,29 +338,23 @@ def bench_all():
                                       thresh_tasmax="30 degC", freq="YS"))
         cells = 3650 * 100 * 100
         val = (cells / med1 + cells / med2) / 2
-        results.append({"config": "tx_days_above + heat_wave_frequency 100x100 10y",
-                        "value": round(val, 1),
-                        "unit": "cell-days/s (mean of both)",
-                        "vs_baseline": round(val / base2["est_64core_cd_s"], 2),
-                        "baseline": base2})
-    except Exception as e:
-        results.append({"config": "spells", "error": str(e)[:120]})
+        return {"config": "tx_days_above + heat_wave_frequency 100x100 10y",
+                "value": round(val, 1),
+                "unit": "cell-days/s (mean of both)",
+                "vs_baseline": round(val / base2["est_64core_cd_s"], 2),
+                "baseline": base2}
 
-    # 3. tx90p full bootstrap — the north-star (merge-rank kernel)
-    try:
+    def cfg_bootstrap():
         base3 = _baseline_block("tx90p_bootstrap", reps=2)
         val, ts = _measure_bootstrap((64, 64), "merge")
-        results.append({"config": "tx90p full 30y bootstrap 4096 cells",
-                        "value": round(val, 1),
-                        "unit": "cell-days/s",
-                        "vs_baseline": round(val / base3["est_64core_cd_s"], 2),
-                        "baseline": base3,
-                        "runs_ms": [round(x * 1e3, 1) for x in ts]})
-    except Exception as e:
-        results.append({"config": "tx90p bootstrap", "error": str(e)[:120]})
+        return {"config": "tx90p full 30y bootstrap 4096 cells",
+                "value": round(val, 1),
+                "unit": "cell-days/s",
+                "vs_baseline": round(val / base3["est_64core_cd_s"], 2),
+                "baseline": base3,
+                "runs_ms": [round(x * 1e3, 1) for x in ts]}
 
-    # 4. QDM train+adjust, dayofyear window=31, 50 quantiles, 32x32 30y
-    try:
+    def cfg_qdm():
         base4 = _baseline_block("qdm", reps=2)
         from xclim_tpu.sdba import Grouper, QuantileDeltaMapping
 
@@ -378,27 +371,22 @@ def bench_all():
 
         med, ts = _median5(qdm_once)
         cd = 30 * 365 * 32 * 32
-        results.append({"config": "QDM train+adjust doy w31 nq50 1024 cells 30y",
-                        "value": round(cd / med, 1),
-                        "unit": "cell-days/s",
-                        "vs_baseline": round(cd / med / base4["est_64core_cd_s"], 2),
-                        "baseline": base4,
-                        "runs_ms": [round(x * 1e3, 1) for x in ts]})
-    except Exception as e:
-        results.append({"config": "QDM", "error": str(e)[:160]})
+        return {"config": "QDM train+adjust doy w31 nq50 1024 cells 30y",
+                "value": round(cd / med, 1),
+                "unit": "cell-days/s",
+                "vs_baseline": round(cd / med / base4["est_64core_cd_s"], 2),
+                "baseline": base4,
+                "runs_ms": [round(x * 1e3, 1) for x in ts]}
 
-    # 5. ensembles: 30-member percentiles + robustness, continental grid
-    try:
+    def cfg_ensembles():
         ny, nx = 128, 256  # ~continental 0.25 deg
         base5 = _baseline_block("ensembles", ny=ny, nx=nx)
+        from xclim_tpu.core.dataarray import concat
         from xclim_tpu.ensembles import ensemble_percentiles, robustness_fractions
 
         t1 = date_range("2000-01-01", periods=365, freq="D", calendar="noleap")
-        members = [mk(10 + i, (365, ny, nx), 285.0, 5.0, "K", "tas", t1)
-                   for i in range(30)]
-        from xclim_tpu.core.dataarray import concat
-
-        ens = concat(members, dim="realization")
+        ens = concat([mk(10 + i, (365, ny, nx), 285.0, 5.0, "K", "tas", t1)
+                      for i in range(30)], dim="realization")
 
         def ens_once():
             p = ensemble_percentiles(ens, values=[10, 50, 90])
@@ -414,14 +402,24 @@ def bench_all():
 
         med, ts = _median5(ens_once, sync=sync)
         cd = 30 * 365 * ny * nx
-        results.append({"config": f"ensemble percentiles+robustness 30 members {ny}x{nx}",
-                        "value": round(cd / med, 1),
-                        "unit": "member-cell-days/s",
-                        "vs_baseline": round(cd / med / base5["est_64core_cd_s"], 2),
-                        "baseline": base5,
-                        "runs_ms": [round(x * 1e3, 1) for x in ts]})
-    except Exception as e:
-        results.append({"config": "ensembles", "error": str(e)[:160]})
+        return {"config": f"ensemble percentiles+robustness 30 members {ny}x{nx}",
+                "value": round(cd / med, 1),
+                "unit": "member-cell-days/s",
+                "vs_baseline": round(cd / med / base5["est_64core_cd_s"], 2),
+                "baseline": base5,
+                "runs_ms": [round(x * 1e3, 1) for x in ts]}
+
+    configs = [("tg_mean 64", lambda: cfg_tg_mean(64)),
+               ("tg_mean 512", lambda: cfg_tg_mean(512)),
+               ("spells", cfg_spells),
+               ("tx90p bootstrap", cfg_bootstrap),
+               ("QDM", cfg_qdm),
+               ("ensembles", cfg_ensembles)]
+    for name, fn in configs:
+        try:
+            results.append(fn())
+        except Exception as e:
+            results.append({"config": name, "error": str(e)[:160]})
 
     results.append({"config": "spell engine",
                     "pallas_mode": pallas_mode(),

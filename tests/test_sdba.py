@@ -453,3 +453,42 @@ class TestTrainedStatePersistence:
         out2 = adj2.adjust(hist)
         np.testing.assert_array_equal(np.asarray(out1.data),
                                       np.asarray(out2.data))
+
+
+class TestGroupedRankKernel:
+    """The gather-free two-sort rank must match the counting definition
+    rank = #(group <= v)/n_valid, including ties and NaN padding."""
+
+    def test_vs_counting(self):
+        rng = np.random.default_rng(11)
+        g = rng.normal(0, 1, (5, 40, 7)).astype(np.float32)
+        g = np.round(g, 1)            # force ties
+        g[0, 30:, :] = np.nan         # NaN padding
+        nvalid = np.sum(~np.isnan(g), axis=1).astype(np.int32)
+        from xclim_tpu.sdba.utils import grouped_rank
+
+        got = np.asarray(grouped_rank(jnp.asarray(g), jnp.asarray(nvalid)))
+        want = np.empty_like(g)
+        for i in range(5):
+            for c in range(7):
+                col = g[i, :, c]
+                n = max(nvalid[i, c], 1)
+                for m in range(40):
+                    want[i, m, c] = np.sum(col <= col[m]) / n if not np.isnan(col[m]) else np.sum(col <= col[m]) / n
+        ok = ~np.isnan(g)
+        np.testing.assert_allclose(got[ok], want[ok], rtol=1e-6)
+
+    def test_uniform_interp_matches_general(self):
+        rng = np.random.default_rng(12)
+        G, ms, nq, C = 4, 25, 20, 6
+        tau = rng.uniform(0, 1, (G, ms, C)).astype(np.float32)
+        q = (np.arange(nq, dtype=np.float32) + 0.5) / nq
+        yq = np.sort(rng.normal(0, 1, (G, nq, C)).astype(np.float32), axis=1)
+        from xclim_tpu.sdba.utils import interp_on_quantiles, interp_uniform_nodes
+
+        fast = np.asarray(interp_uniform_nodes(jnp.asarray(tau), jnp.asarray(q),
+                                               jnp.asarray(yq)))
+        qx = np.broadcast_to(q.reshape(1, nq, 1), (G, nq, C))
+        slow = np.asarray(interp_on_quantiles(jnp.asarray(tau), jnp.asarray(qx),
+                                              jnp.asarray(yq)))
+        np.testing.assert_allclose(fast, slow, rtol=2e-5, atol=2e-6)

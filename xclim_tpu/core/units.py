@@ -85,6 +85,8 @@ _def("min minute minutes", 60.0, _dv(T=1))
 _def("h hr hrs hour hours", 3600.0, _dv(T=1))
 _def("d day days", 86400.0, _dv(T=1), canon="d")
 _def("week weeks wk", 604800.0, _dv(T=1), canon="week")
+# mean Gregorian month, as in pint's default registry (year/12)
+_def("month months mon", 365.25 * 86400 / 12, _dv(T=1), canon="month")
 _def("yr year years a annum", 365.25 * 86400, _dv(T=1), canon="yr")
 _def("K kelvin kelvins degK", 1.0, _dv(K=1))
 _def("degC celsius C degreeC degrees_Celsius degree_Celsius °C ℃", 1.0, _dv(K=1),

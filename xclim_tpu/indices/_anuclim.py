@@ -105,6 +105,15 @@ _NP_OPS = {"wettest": "max", "warmest": "max", "driest": "min", "dryest": "min",
            "coldest": "min"}
 
 
+def _quarter_op(op: str) -> str:
+    """Validate a quarter-selection op (xclim:_anuclim.py:577 raises
+    NotImplementedError on unknown ops)."""
+    if op not in _NP_OPS:
+        raise NotImplementedError(
+            f"Unknown operation '{op}'; expected one of {sorted(_NP_OPS)}.")
+    return _NP_OPS[op]
+
+
 def _from_other_arg(criteria: ClimArray, output: ClimArray, op: str,
                     freq: str) -> ClimArray:
     """Per period: value of `output` at the time of `criteria`'s extreme
@@ -127,7 +136,7 @@ def tg_mean_warmcold_quarter(tas: ClimArray, op: str = "warmest",
                              freq: str = "YS") -> ClimArray:
     """P10/P11: mean temperature of warmest/coldest quarter (xclim:_anuclim.py:215)."""
     q = _to_quarter(tas=tas)
-    out = select_resample_op(q, _NP_OPS[op], freq)
+    out = select_resample_op(q, _quarter_op(op), freq)
     out.attrs["units"] = q.attrs.get("units", "")
     return out
 
@@ -138,7 +147,7 @@ def tg_mean_wetdry_quarter(tas: ClimArray, pr: ClimArray, op: str = "wettest",
     """P8/P9: mean temperature of wettest/driest quarter (xclim:_anuclim.py:262)."""
     tas_q = _to_quarter(tas=tas)
     pr_q = _to_quarter(pr=pr)
-    out = _from_other_arg(pr_q, tas_q, "max" if op == "wettest" else "min", freq)
+    out = _from_other_arg(pr_q, tas_q, _quarter_op(op), freq)
     out.attrs["units"] = tas_q.attrs.get("units", "")
     return out
 
@@ -148,7 +157,7 @@ def prcptot_wetdry_quarter(pr: ClimArray, op: str = "wettest",
                            freq: str = "YS") -> ClimArray:
     """P16/P17: precipitation of wettest/driest quarter (xclim:_anuclim.py:311)."""
     q = _to_quarter(pr=pr)
-    out = select_resample_op(q, _NP_OPS[op], freq)
+    out = select_resample_op(q, _quarter_op(op), freq)
     out.attrs["units"] = q.attrs.get("units", "")
     return out
 
@@ -159,7 +168,7 @@ def prcptot_warmcold_quarter(pr: ClimArray, tas: ClimArray, op: str = "warmest",
     """P18/P19: precipitation of warmest/coldest quarter (xclim:_anuclim.py:358)."""
     tas_q = _to_quarter(tas=tas)
     pr_q = _to_quarter(pr=pr)
-    out = _from_other_arg(tas_q, pr_q, "max" if op == "warmest" else "min", freq)
+    out = _from_other_arg(tas_q, pr_q, _quarter_op(op), freq)
     out.attrs["units"] = pr_q.attrs.get("units", "")
     return out
 

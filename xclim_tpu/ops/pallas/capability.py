@@ -33,19 +33,26 @@ dispatch_counts = {"pallas": 0, "xla": 0}
 
 
 def _probe_mosaic() -> bool:
-    """Try to compile + run a trivial Mosaic program once."""
+    """Try to compile + run the REAL spell kernel at a tiny shape.
+
+    A trivial add-one kernel is not representative: the axon tunnel backend's
+    remote Mosaic AOT helper compiled it while rejecting the production
+    kernel (e.g. `jnp.isnan` inside the kernel crashed it — found by
+    bisection). Probing the actual kernel guarantees dispatch only claims
+    what the backend can deliver."""
     try:
-        import jax
-        import jax.numpy as jnp
-        from jax.experimental import pallas as pl
+        import numpy as np
 
-        def k(x_ref, o_ref):
-            o_ref[...] = x_ref[...] + 1.0
+        from xclim_tpu.core.calendar import date_range, resample_segments
+        from xclim_tpu.ops.pallas.spells import fused_spell_stats
 
-        x = jnp.zeros((8, 128), jnp.float32)
-        out = pl.pallas_call(
-            k, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype))(x)
-        return bool(out[0, 0] == 1.0)
+        t = date_range("2000-01-01", periods=16, freq="D", calendar="noleap")
+        spec = resample_segments(t, "8D")
+        x = np.ones((16, 128), np.float32)
+        x[3:5, :] = np.nan
+        cnt, _, _, _ = fused_spell_stats(x, spec, thresh=0.5, window=2,
+                                         op=">")
+        return bool(np.asarray(cnt)[0, 0] == 6.0)  # 8 days − 2 NaN
     except Exception:
         return False
 

@@ -16,11 +16,17 @@ is elementwise + gather, which XLA fuses.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["nan_quantile", "nan_percentile"]
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("axis", "alpha", "beta"))
 def nan_quantile(x, q, axis: int = -1, alpha: float = 1.0, beta: float = 1.0):
     """Compute quantiles along `axis`, skipping NaNs.
 
@@ -37,28 +43,49 @@ def nan_quantile(x, q, axis: int = -1, alpha: float = 1.0, beta: float = 1.0):
     matching xclim ``_nan_quantile``).
     """
     q = jnp.asarray(q, dtype=jnp.float32).reshape(-1)
-    xm = jnp.moveaxis(x, axis, -1)
-    n_total = xm.shape[-1]
-    xs = jnp.sort(xm, axis=-1)  # NaNs sort to the end
-    nvalid = jnp.sum(~jnp.isnan(xm), axis=-1)  # (...,)
+    axis = axis % x.ndim
+    # Layout strategy (measured on a real v5e through the tunnel backend):
+    #   * sort IN PLACE along `axis` — transposing the reduce axis to the
+    #     minor-most position makes the TPU sort lane-starved and the
+    #     transpose dominates;
+    #   * select order statistics by a ONE-HOT weighted reduction instead of
+    #     take_along_axis — per-lane gathers cost ~10x the sort itself
+    #     (870 ms vs 87 ms for 30x12M), while the fused compare-multiply-
+    #     accumulate runs at VPU speed and handles per-lane NaN counts
+    #     exactly.
+    xs = jnp.sort(x, axis=axis)  # NaNs sort to the end
+    nvalid = jnp.sum(~jnp.isnan(x), axis=axis)  # (pre.., post..)
 
-    n = nvalid[..., None].astype(jnp.float32)  # (..., 1)
+    # canonical (pre, n, post) 3-D layout: the contiguous reshape is free and
+    # keeps the einsum in the exact shape class verified to compile+fuse on
+    # the tunnel backend (higher-rank variants crashed its Mosaic helper)
+    pre = int(np.prod(x.shape[:axis], dtype=np.int64)) if axis else 1
+    nsamp = x.shape[axis]
+    post = int(np.prod(x.shape[axis + 1:], dtype=np.int64))
+    xs3 = xs.reshape(pre, nsamp, post)
+    nv3 = nvalid.reshape(pre, 1, post)
+
+    n = nv3.astype(jnp.float32)[..., None]  # (pre, 1, post, 1)
     # virtual index: h = n*q + (q*(1-alpha-beta) + alpha) - 1
-    h = n * q + (q * (1 - alpha - beta) + alpha) - 1.0  # (..., Q)
+    h = n * q + (q * (1 - alpha - beta) + alpha) - 1.0
     upper = jnp.maximum(n - 1.0, 0.0)
     h = jnp.clip(h, 0.0, upper)
     prev = jnp.floor(h)
     gamma = h - prev
-    nxt = jnp.minimum(prev + 1.0, upper)
-    prev_i = prev.astype(jnp.int32)
-    nxt_i = nxt.astype(jnp.int32)
-    left = jnp.take_along_axis(xs, prev_i, axis=-1)
-    right = jnp.take_along_axis(xs, nxt_i, axis=-1)
-    out = left + gamma * (right - left)
+    nxt = jnp.minimum(prev + 1.0, upper)  # (pre, 1, post, Q)
 
-    single = xs[..., 0:1]  # the lone valid value when nvalid == 1
-    out = jnp.where(nvalid[..., None] == 1, single, out)
-    out = jnp.where(nvalid[..., None] == 0, jnp.nan, out)
+    k = jnp.arange(nsamp, dtype=jnp.float32)[None, :, None, None]
+    # prev == nxt collapses to weight 1 automatically: (1-g) + g
+    w = (k == prev) * (1.0 - gamma) + (k == nxt) * gamma  # (pre, n, post, Q)
+    # NaN slots never receive weight (prev/nxt < nvalid), but 0*NaN would
+    # still poison the sum — zero them out first
+    xz = jnp.where(jnp.isnan(xs3), 0.0, xs3)
+    # contract over the sample axis with einsum: XLA fuses the one-hot
+    # weight producer into the dot (a jnp.sum(xz*w) formulation instead
+    # materializes the weight tensor and dies at compile)
+    out = jnp.einsum("akc,akcq->acq", xz, w)
+    out = jnp.where(nv3.reshape(pre, post)[..., None] == 0, jnp.nan, out)
+    out = out.reshape(x.shape[:axis] + x.shape[axis + 1:] + (q.shape[0],))
     # move quantile axis to front (xclim convention)
     return jnp.moveaxis(out, -1, 0)
 

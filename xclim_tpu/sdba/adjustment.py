@@ -201,10 +201,21 @@ class QuantileDeltaMapping(TrainAdjust):
         (g, af), sshape = _spacify(g, af)
         nvalid = jnp.sum(~jnp.isnan(g), axis=1).astype(jnp.int32)
         tau = grouped_rank(g, nvalid)  # (G, ms, C)
-        q = jnp.asarray(self.ds["quantiles"], dtype=jnp.float32)
-        qx = jnp.broadcast_to(q.reshape((1, -1) + (1,) * (af.ndim - 2)), af.shape)
-        af_v = interp_on_quantiles(tau, qx, af, method=interp,
-                                   extrapolation=extrapolation)
+        qarr = np.asarray(self.ds["quantiles"], dtype=np.float32)
+        q = jnp.asarray(qarr)
+        if (interp == "linear" and extrapolation == "constant"
+                and len(qarr) > 1
+                and np.allclose(np.diff(qarr), qarr[1] - qarr[0], rtol=1e-5)):
+            # equally spaced nodes (the QDM default): hat-basis contraction,
+            # no rank search / per-lane gathers
+            from xclim_tpu.sdba.utils import interp_uniform_nodes
+
+            af_v = interp_uniform_nodes(tau, q, af)
+        else:
+            qx = jnp.broadcast_to(q.reshape((1, -1) + (1,) * (af.ndim - 2)),
+                                  af.shape)
+            af_v = interp_on_quantiles(tau, qx, af, method=interp,
+                                       extrapolation=extrapolation)
         adj = _apply_kind(g, af_v, self.kind)
         adj = adj.reshape(adj.shape[:2] + sshape)
         flat = adj.reshape((-1,) + adj.shape[2:])

@@ -70,8 +70,53 @@ def grouped_rank(sim_g, nvalid):
 
     sim_g: (G, ms, C) group-gathered values (NaN padded). Returns same-shape
     ranks in (0, 1]: rank = #(group ≤ v) / n_valid (max rank 1.0).
+
+    Gather-free formulation (per-lane gathers are ~100x slower than sorts on
+    the TPU tunnel backend): one variadic sort yields the permutation; the
+    tie-run upper bound comes from a flipped cummax; a second variadic sort
+    keyed on the permutation un-sorts the counts.
     """
-    S = jnp.sort(sim_g, axis=-2)
-    cnt = _count_le_sorted(S, sim_g)
+    import jax
+
+    ms = sim_g.shape[-2]
+    iota = jnp.broadcast_to(
+        jnp.arange(ms, dtype=jnp.int32)[:, None], sim_g.shape[-2:])
+    iota = jnp.broadcast_to(iota, sim_g.shape)
+    # NaNs sort last and never equal anything → their u values are inert
+    S, perm = jax.lax.sort((sim_g, iota), dimension=sim_g.ndim - 2,
+                           num_keys=1)
+    # #(group ≤ S[j]) = upper bound of j's tie run + 1: positions where the
+    # next value differs hold j+1; backward-fill along the run via a flipped
+    # cummax (u is nondecreasing in j)
+    nxt_same = jnp.concatenate(
+        [S[..., 1:, :] == S[..., :-1, :],
+         jnp.zeros_like(S[..., :1, :], dtype=bool)], axis=-2)
+    # nearest run-end at or after j = reverse cummin over the (increasing)
+    # run-end markers, with non-ends masked to +inf
+    base = jnp.where(nxt_same, jnp.iinfo(jnp.int32).max,
+                     jnp.arange(1, ms + 1, dtype=jnp.int32)[:, None])
+    u = jnp.flip(jax.lax.cummin(jnp.flip(base, axis=-2), axis=sim_g.ndim - 2),
+                 axis=-2)
+    # un-sort: sort (perm, u) by perm restores original sample order
+    _, cnt = jax.lax.sort((perm, u), dimension=sim_g.ndim - 2, num_keys=1)
     n = jnp.maximum(nvalid[..., None, :], 1)
     return cnt.astype(jnp.float32) / n.astype(jnp.float32)
+
+
+def interp_uniform_nodes(tau, q, yq):
+    """y(tau) for piecewise-linear interpolation on the UNIFORM quantile grid
+    ``q`` (equally spaced nodes) — a single hat-basis contraction with no
+    rank search and no gathers:  y = Σ_k max(0, 1 − |tau − q_k|/dq) · yq[k].
+
+    tau: (G, ms, C) in [0, 1]; q: (nq,) uniform; yq: (G, nq, C).
+    Constant extrapolation (clamp into [q₀, q_{nq−1}]).
+    """
+    q = jnp.asarray(q, dtype=jnp.float32)
+    nq = q.shape[0]
+    dq = (q[-1] - q[0]) / (nq - 1)
+    tc = jnp.clip(tau, q[0], q[-1])
+    qb = q.reshape((1,) * (tau.ndim - 1) + (nq, 1))
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(tc[..., None, :] - qb) / dq)
+    # (G, ms, nq, C) weight producer fused into the contraction
+    out = jnp.einsum("gqc,gmqc->gmc", yq, w)
+    return jnp.where(jnp.isnan(tau), jnp.nan, out)
