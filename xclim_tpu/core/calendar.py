@@ -801,11 +801,22 @@ def select_time_mask(
         lo_ok = (doy >= lo) if include_bounds[0] else (doy > lo)
         hi_ok = (doy <= hi) if include_bounds[1] else (doy < hi)
         return (lo_ok & hi_ok) if lo <= hi else (lo_ok | hi_ok)
-    # date_bounds: 'MM-DD' strings
+    # date_bounds: 'MM-DD' strings. Compare (month, day) keys directly — a
+    # doy conversion is wrong in half the years of a mixed leap/non-leap
+    # calendar (e.g. '12-25' mapped via a noleap doy selects Dec 24 in leap
+    # years).
     lo_s, hi_s = date_bounds
-    lo = doy_from_string(lo_s, time.calendar)
-    hi = doy_from_string(hi_s, time.calendar)
-    return select_time_mask(time, doy_bounds=(lo, hi), include_bounds=include_bounds)
+
+    def _md_key(s: str) -> int:
+        mm, dd = s.split("-")
+        return int(mm) * 100 + int(dd)
+
+    lo = _md_key(lo_s)
+    hi = _md_key(hi_s)
+    key = time.month * 100 + time.day
+    lo_ok = (key >= lo) if include_bounds[0] else (key > lo)
+    hi_ok = (key <= hi) if include_bounds[1] else (key < hi)
+    return (lo_ok & hi_ok) if lo <= hi else (lo_ok | hi_ok)
 
 
 # ---------------------------------------------------------------------------

@@ -493,11 +493,19 @@ def chill_units(tas: ClimArray, positive_only: bool = False,
                    jnp.where((t > 1.4) & (t <= 2.4), 0.5,
                              jnp.where((t > 2.4) & (t <= 9.1), 1.0,
                                        jnp.where((t > 9.1) & (t <= 12.4), 0.5,
-                                                 jnp.where((t > 15.9) & (t <= 18.0),
+                                                 jnp.where((t > 15.9) & (t <= 17.9),
                                                            -0.5, -1.0)))))
-    if positive_only:
-        cu = jnp.clip(cu, 0.0)
     cua = tas.copy(data=cu)
+    if positive_only:
+        # the Utah positive-only variant drops DAYS whose total is negative
+        # (xclim:_agro.py:1589-1591), not individual negative hours
+        daily = cua.resample("D").sum()
+        daily = daily.copy(data=jnp.where(daily.data > 0, daily.data,
+                                          jnp.nan))
+        out = daily.resample(freq).sum()
+        out.attrs = {"units": ""}
+        out.name = "cu"
+        return out
     out = cua.resample(freq).sum()
     out.attrs = {"units": ""}
     out.name = "cu"

@@ -942,7 +942,7 @@ def holiday_snow_and_snowfall_days(snd: ClimArray, prsn: ClimArray,
                                    prsn_thresh: str = "1 mm", snd_op: str = ">=",
                                    prsn_op: str = ">=", date_start: str = "12-25",
                                    date_end: str | None = None,
-                                   freq: str = "YS") -> ClimArray:
+                                   freq: str = "YS-JUL") -> ClimArray:
     """Days with snow cover AND measurable snowfall on holidays
     (xclim:_threshold.py:3799)."""
     bounds = (date_start, date_end or date_start)

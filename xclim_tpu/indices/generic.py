@@ -547,7 +547,9 @@ def aggregate_between_dates(data: ClimArray, start, end, op: str = "sum",
     if s is not None:
         mask = mask & (doyj >= s) & ~jnp.isnan(s)
     if e is not None:
-        mask = mask & (doyj <= e) & ~jnp.isnan(e)
+        # end bound is EXCLUSIVE: the reference masks `days <= end_d - 1`
+        # (xclim generic.py:1499)
+        mask = mask & (doyj < e) & ~jnp.isnan(e)
     masked = data.copy(data=jnp.where(mask, data.data, jnp.nan))
     out = getattr(masked.resample(freq), op)()
     out.attrs["units"] = data.attrs.get("units", "")

@@ -114,6 +114,64 @@ class Grouper:
         table[sg, within] = order.astype(np.int32)
         return table
 
+    # -- device-resident table cache ----------------------------------------
+    # Tables cross the host->device tunnel (~15 MB/s) once per distinct time
+    # index instead of once per train/adjust call; the same cache key also
+    # keeps jax.jit retracing keyed to genuinely new time axes.
+
+    def _time_key(self, time: TimeIndex) -> bytes:
+        import hashlib
+
+        h = hashlib.sha1()
+        h.update(f"{self.group}|{self.window}|{time.calendar}".encode())
+        h.update(time.year.tobytes())
+        h.update(time.month.tobytes())
+        h.update(time.day.tobytes())
+        return h.digest()
+
+    def _dev_cache(self) -> dict:
+        c = getattr(self, "_device_tables", None)
+        if c is None:
+            c = {}
+            object.__setattr__(self, "_device_tables", c)
+        return c
+
+    @staticmethod
+    def _cacheable() -> bool:
+        # never cache device arrays created under an active trace — the
+        # cached tracer would leak out of the enclosing jit/shard_map
+        from jax._src import core as _core
+
+        return _core.trace_state_clean()
+
+    def device_train_table(self, time: TimeIndex):
+        """Device-resident train_table, memoized per (grouper, time)."""
+        import jax.numpy as jnp
+
+        if not self._cacheable():
+            return jnp.asarray(self.train_table(time))
+        key = (b"train", self._time_key(time))
+        cache = self._dev_cache()
+        if key not in cache:
+            cache[key] = jnp.asarray(self.train_table(time))
+        return cache[key]
+
+    def device_adjust_table(self, time: TimeIndex):
+        """Device-resident (table, gid, flat_pos), memoized per time index."""
+        import jax.numpy as jnp
+
+        if not self._cacheable():
+            table, gid, flat_pos = self.adjust_table(time)
+            return (jnp.asarray(table), jnp.asarray(gid),
+                    jnp.asarray(flat_pos))
+        key = (b"adjust", self._time_key(time))
+        cache = self._dev_cache()
+        if key not in cache:
+            table, gid, flat_pos = self.adjust_table(time)
+            cache[key] = (jnp.asarray(table), jnp.asarray(gid),
+                          jnp.asarray(flat_pos))
+        return cache[key]
+
     def adjust_table(self, time: TimeIndex) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Tables to process per-group then scatter back to the time axis.
 

@@ -7,12 +7,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from xclim_tpu.core.dataarray import ClimArray
-from xclim_tpu.ops.bootstrap import _count_le_sorted
 from xclim_tpu.ops.quantile import nan_quantile
 from xclim_tpu.sdba.grouping import Grouper
 
 __all__ = ["equally_spaced_nodes", "grouped_quantile", "interp_on_quantiles",
-           "grouped_rank"]
+           "grouped_rank", "interp_hat_nodes", "gather_groups"]
 
 
 def equally_spaced_nodes(n: int, eps: float | None = 1e-4) -> np.ndarray:
@@ -30,13 +29,10 @@ def grouped_quantile(da: ClimArray, grouper: Grouper, q: np.ndarray,
 
     One static gather + the batched NaN-quantile kernel.
     """
-    table = grouper.train_table(da.time)
+    table = grouper.device_train_table(da.time)
     ax = da.time_axis
     xf = jnp.moveaxis(da.data, ax, 0)
-    t = jnp.asarray(table)
-    g = xf[jnp.maximum(t, 0)]
-    okshape = t.shape + (1,) * (g.ndim - 2)
-    g = jnp.where((t >= 0).reshape(okshape), g, jnp.nan)  # (G, ms, ...)
+    g = gather_groups(xf, table)  # (G, ms, ...)
     out = nan_quantile(g, jnp.asarray(q, dtype=jnp.float32), axis=1,
                        alpha=alpha, beta=beta)  # (nq, G, ...)
     return jnp.moveaxis(out, 0, 1)  # (G, nq, ...)
@@ -46,17 +42,32 @@ def interp_on_quantiles(x, xq, yq, method: str = "linear",
                         extrapolation: str = "constant"):
     """y(x) by piecewise-linear interp of (xq → yq) along the quantile axis.
 
-    x: (..., C); xq, yq: (..., nq, C) sorted along -2. Constant extrapolation
-    clamps to the edge values (xsdba default ``extrapolation='constant'``).
+    x: (..., ms, C); xq, yq: (..., nq, C) sorted along -2. Constant
+    extrapolation clamps to the edge values (xsdba default
+    ``extrapolation='constant'``).
+
+    Gather-free: the bracketing index comes from a direct comparison count
+    (nq is small) and the bracketing values from one-hot selection sums —
+    per-lane ``take_along_axis`` gathers cost ~70x the equivalent fused
+    compare-select reductions on the TPU tunnel backend.
     """
     nq = xq.shape[-2]
-    cnt = _count_le_sorted(xq, x)  # (..., ms, C): #(xq <= x) per sample
+    # #(xq <= x): (..., nq, ms, C) compare reduced over nq; NaN nodes
+    # compare False, i.e. count as greater (they sort last)
+    cnt = jnp.sum((xq[..., :, None, :] <= x[..., None, :, :]),
+                  axis=-3).astype(jnp.int32)
     hi = jnp.clip(cnt, 1, nq - 1)
     lo = hi - 1
-    x0 = jnp.take_along_axis(xq, lo, axis=-2)
-    x1 = jnp.take_along_axis(xq, hi, axis=-2)
-    y0 = jnp.take_along_axis(yq, lo, axis=-2)
-    y1 = jnp.take_along_axis(yq, hi, axis=-2)
+    k = jnp.arange(nq, dtype=jnp.int32).reshape(
+        (1,) * (x.ndim - 2) + (nq, 1, 1))
+    sel_lo = k == lo[..., None, :, :]
+    sel_hi = k == hi[..., None, :, :]
+    xqe = xq[..., :, None, :]
+    yqe = yq[..., :, None, :]
+    x0 = jnp.sum(jnp.where(sel_lo, xqe, 0.0), axis=-3)
+    x1 = jnp.sum(jnp.where(sel_hi, xqe, 0.0), axis=-3)
+    y0 = jnp.sum(jnp.where(sel_lo, yqe, 0.0), axis=-3)
+    y1 = jnp.sum(jnp.where(sel_hi, yqe, 0.0), axis=-3)
     denom = x1 - x0
     w = jnp.where(denom != 0, (x - x0) / jnp.where(denom == 0, 1.0, denom), 0.0)
     if extrapolation == "constant":
@@ -103,20 +114,37 @@ def grouped_rank(sim_g, nvalid):
     return cnt.astype(jnp.float32) / n.astype(jnp.float32)
 
 
-def interp_uniform_nodes(tau, q, yq):
-    """y(tau) for piecewise-linear interpolation on the UNIFORM quantile grid
-    ``q`` (equally spaced nodes) — a single hat-basis contraction with no
-    rank search and no gathers:  y = Σ_k max(0, 1 − |tau − q_k|/dq) · yq[k].
+def gather_groups(xf, table):
+    """Group-gather a time-first array with an int32 table, NaN-padding the
+    -1 slots. xf: (T, ...); table: (G, ms) → (G, ms, ...). Traceable."""
+    t = jnp.asarray(table)
+    g = xf[jnp.maximum(t, 0)]
+    okshape = t.shape + (1,) * (g.ndim - 2)
+    return jnp.where((t >= 0).reshape(okshape), g, jnp.nan)
 
-    tau: (G, ms, C) in [0, 1]; q: (nq,) uniform; yq: (G, nq, C).
-    Constant extrapolation (clamp into [q₀, q_{nq−1}]).
+
+def interp_hat_nodes(tau, q, yq):
+    """y(tau) by piecewise-linear interpolation on the SHARED sorted 1-D node
+    vector ``q`` (not necessarily uniform) — a single hat-basis contraction,
+    no rank search and no per-lane gathers (measured 71x the searchsorted+
+    gather path on the tunnel backend):
+
+        y = Σ_k φ_k(tau) · yq[k],   φ_k the hat on [q_{k-1}, q_k, q_{k+1}]
+
+    tau: (G, ms, C); q: (nq,) strictly increasing; yq: (G, nq, C).
+    Constant extrapolation (clamp into [q₀, q_{nq−1}]). Matches the default
+    equally_spaced_nodes grid, whose eps end nodes make it non-uniform.
     """
     q = jnp.asarray(q, dtype=jnp.float32)
     nq = q.shape[0]
-    dq = (q[-1] - q[0]) / (nq - 1)
     tc = jnp.clip(tau, q[0], q[-1])
     qb = q.reshape((1,) * (tau.ndim - 1) + (nq, 1))
-    w = jnp.maximum(0.0, 1.0 - jnp.abs(tc[..., None, :] - qb) / dq)
+    dq = jnp.diff(q)
+    shp = (1,) * (tau.ndim - 1) + (nq, 1)
+    dL = jnp.concatenate([jnp.ones(1, q.dtype), dq]).reshape(shp)
+    dR = jnp.concatenate([dq, jnp.ones(1, q.dtype)]).reshape(shp)
+    d = tc[..., None, :] - qb  # (G, ms, nq, C)
+    w = jnp.maximum(0.0, jnp.minimum(1.0 + d / dL, 1.0 - d / dR))
     # (G, ms, nq, C) weight producer fused into the contraction
     out = jnp.einsum("gqc,gmqc->gmc", yq, w)
     return jnp.where(jnp.isnan(tau), jnp.nan, out)
