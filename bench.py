@@ -326,23 +326,28 @@ def bench_all():
                      "saturated grid"),
         }
 
-    def cfg_spells():
-        base2 = _baseline_block("spells")
+    def cfg_spells(size=100):
+        base2 = _baseline_block("spells", ny=size, nx=size,
+                                reps=3 if size <= 100 else 1)
         t = date_range("2000-01-01", periods=3650, freq="D", calendar="noleap")
-        tx = mk(1, (3650, 100, 100), 290.0, 8.0, "K", "tasmax", t)
-        tn = mk(2, (3650, 100, 100), 280.0, 8.0, "K", "tasmin", t)
+        tx = mk(1, (3650, size, size), 290.0, 8.0, "K", "tasmax", t)
+        tn = mk(2, (3650, size, size), 280.0, 8.0, "K", "tasmin", t)
         f1 = climjit(indices.tx_days_above)
         f2 = climjit(indices.heat_wave_frequency)
         med1, _ = _median5(lambda: f1(tx, thresh="25 degC", freq="YS"))
         med2, _ = _median5(lambda: f2(tn, tx, thresh_tasmin="22 degC",
                                       thresh_tasmax="30 degC", freq="YS"))
-        cells = 3650 * 100 * 100
+        cells = 3650 * size * size
         val = (cells / med1 + cells / med2) / 2
-        return {"config": "tx_days_above + heat_wave_frequency 100x100 10y",
+        return {"config": f"tx_days_above + heat_wave_frequency {size}x{size} 10y",
                 "value": round(val, 1),
                 "unit": "cell-days/s (mean of both)",
                 "vs_baseline": round(val / base2["est_64core_cd_s"], 2),
-                "baseline": base2}
+                "baseline": base2,
+                "note": ("100x100 is a single ~35 ms dispatch — the tunnel "
+                         "floor, not kernel speed; the saturated size shows "
+                         "kernel throughput" if size == 100 else
+                         "saturated grid")}
 
     def cfg_bootstrap():
         base3 = _baseline_block("tx90p_bootstrap", reps=2)
@@ -411,7 +416,8 @@ def bench_all():
 
     configs = [("tg_mean 64", lambda: cfg_tg_mean(64)),
                ("tg_mean 512", lambda: cfg_tg_mean(512)),
-               ("spells", cfg_spells),
+               ("spells", lambda: cfg_spells(100)),
+               ("spells 448", lambda: cfg_spells(448)),
                ("tx90p bootstrap", cfg_bootstrap),
                ("QDM", cfg_qdm),
                ("ensembles", cfg_ensembles)]

@@ -167,3 +167,126 @@ class TestDictBatchApply:
         np.testing.assert_allclose(
             np.asarray(tree_out["only"]["tg_mean"].values),
             np.asarray(single.values))
+
+
+class TestMultiOutput:
+    """Multi-output declaration forms and validation
+    (xclim:tests/test_indicators.py:335-430)."""
+
+    @staticmethod
+    def _compute(tas, freq="YS"):
+        from xclim_tpu.indices.generic import select_resample_op
+
+        tmin = select_resample_op(tas, "min", freq)
+        tmax = select_resample_op(tas, "max", freq)
+        return tmin, tmax
+
+    def test_cf_attrs_list(self, tas_series):
+        from xclim_tpu.core.indicator import Daily
+
+        ind = Daily(
+            realm="atmos", identifier="minmaxtemp_t1",
+            cf_attrs=[
+                dict(var_name="tmin", units="K", standard_name="Min temp",
+                     description="Grouped computation of tmax and tmin"),
+                dict(var_name="tmax", units="K",
+                     description="Grouped computation of tmax and tmin"),
+            ],
+            compute=self._compute)
+        tas = tas_series(np.arange(366.0) + 200.0, start="2000-01-01")
+        tmin, tmax = ind(tas, freq="YS")
+        assert float(np.asarray(tmin.data)[0]) == 200.0
+        assert float(np.asarray(tmax.data)[0]) == 565.0
+        assert tmin.attrs["standard_name"] == "Min temp"
+        assert tmax.attrs["description"] == ("Grouped computation of tmax "
+                                             "and tmin")
+        assert ind.units == ["K", "K"]
+
+    def test_keyword_lists(self, tas_series):
+        from xclim_tpu.core.indicator import Daily
+
+        ind = Daily(
+            realm="atmos", identifier="minmaxtemp_t2",
+            var_name=["tmin", "tmax"], units="K",
+            standard_name=["Min temp", ""],
+            description="Grouped computation of tmax and tmin",
+            compute=self._compute)
+        tas = tas_series(np.arange(366.0) + 200.0, start="2000-01-01")
+        tmin, tmax = ind(tas, freq="YS")
+        assert tmin.name == "tmin" and tmax.name == "tmax"
+        assert tmin.attrs["standard_name"] == "Min temp"
+        assert ind.units == ["K", "K"]
+
+    def test_missing_var_name(self):
+        from xclim_tpu.core.indicator import Daily
+
+        with pytest.raises(ValueError, match="missing a"):
+            Daily(realm="atmos", identifier="minmaxtemp_t3",
+                  cf_attrs=[dict(var_name="tmin", units="K"),
+                            dict(units="K")],
+                  compute=self._compute)
+
+    def test_length_mismatch(self):
+        from xclim_tpu.core.indicator import Daily
+
+        with pytest.raises(ValueError, match="has 1 elements"):
+            Daily(realm="atmos", identifier="minmaxtemp_t4",
+                  var_name=["tmin", "tmax"], units="K",
+                  standard_name=["Min temp"],
+                  compute=self._compute)
+
+    def test_wrong_output_count(self, tas_series):
+        from xclim_tpu.core.indicator import Daily
+        from xclim_tpu.indices.generic import select_resample_op
+
+        ind = Daily(realm="atmos", identifier="minmaxtemp_t5",
+                    var_name=["tmin", "tmax"], units="K",
+                    compute=lambda tas, freq="YS":
+                    select_resample_op(tas, "min", freq))
+        tas = tas_series(np.arange(366.0) + 200.0, start="2000-01-01")
+        with pytest.raises(ValueError, match="produced 1 outputs"):
+            ind(tas, freq="YS")
+
+
+class TestMissingBehavior:
+    """Missing-value handling through options and indexers
+    (xclim:tests/test_indicators.py:431-470)."""
+
+    def test_default_any(self, tas_series):
+        from xclim_tpu.indicators import atmos
+
+        a = np.ones(365)
+        a[5] = np.nan
+        tas = tas_series(a + 273.15, start="2000-01-01")
+        out = atmos.tg_mean(tas, freq="MS")
+        assert np.isnan(np.asarray(out.data)[0])
+        assert not np.isnan(np.asarray(out.data)[1])
+
+    def test_pct_tolerance(self, tas_series):
+        from xclim_tpu.core.options import set_options
+        from xclim_tpu.indicators import atmos
+
+        a = np.ones(365)
+        a[5] = np.nan
+        tas = tas_series(a + 273.15, start="2000-01-01")
+        with set_options(check_missing="pct",
+                         missing_options={"pct": {"tolerance": 0.05}}):
+            out = atmos.tg_mean(tas, freq="MS")
+        assert not np.isnan(np.asarray(out.data)[0])
+        with set_options(check_missing="pct",
+                         missing_options={"pct": {"tolerance": 0.01}}):
+            out = atmos.tg_mean(tas, freq="MS")
+        assert np.isnan(np.asarray(out.data)[0])
+
+    def test_indexer_scopes_missing(self, tas_series):
+        # a NaN in January must not poison a February-only computation
+        # (xclim:tests/test_indicators.py:452-457)
+        from xclim_tpu.indicators import atmos
+
+        a = np.ones(365)
+        a[5] = np.nan  # Jan 6
+        tas = tas_series(a + 273.15, start="2000-01-01")
+        out_feb = atmos.tg_mean(tas, freq="YS", month=[2])
+        assert not np.isnan(np.asarray(out_feb.data)[0])
+        out_jan = atmos.tg_mean(tas, freq="YS", month=[1])
+        assert np.isnan(np.asarray(out_jan.data)[0])

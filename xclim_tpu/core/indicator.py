@@ -156,6 +156,10 @@ _ATTRS_TO_FORMAT = ["long_name", "description", "comment", "cell_methods"]
 _CF_NAMES = ["var_name", "standard_name", "long_name", "units", "units_metadata",
              "cell_methods", "description", "comment"]
 
+# kwargs understood by select_time / IndexingIndicator (xclim select_time)
+_INDEXER_KEYS = ("season", "month", "doy_bounds", "date_bounds",
+                 "include_bounds")
+
 
 class Indicator:
     """A climate indicator: metadata + checks around a compute function
@@ -189,11 +193,30 @@ class Indicator:
             compute = _wrap_input_map(compute, input_map)
         self.compute = compute
 
-        # flat cf attrs → single-output cf_attrs list
+        # flat cf attrs → cf_attrs list; list-valued attrs declare one
+        # element per output (xclim:core/indicator.py:520-545)
         cf_attrs = kwds.pop("cf_attrs", None)
         if cf_attrs is None:
             flat = {k: kwds.pop(k) for k in list(kwds) if k in _CF_NAMES}
-            cf_attrs = [flat] if flat else [{}]
+            lens = {k: len(v) for k, v in flat.items()
+                    if isinstance(v, (list, tuple))}
+            if lens:
+                n = max(lens.values())
+                for k, ln in lens.items():
+                    if ln != n:
+                        raise ValueError(
+                            f"Attribute {k} has {ln} elements, expected {n} "
+                            "(all list-valued output attributes must have "
+                            "one entry per output).")
+                cf_attrs = [{k: (v[i] if isinstance(v, (list, tuple)) else v)
+                             for k, v in flat.items()} for i in range(n)]
+            else:
+                cf_attrs = [flat] if flat else [{}]
+        if len(cf_attrs) > 1:
+            for i, entry in enumerate(cf_attrs):
+                if not entry.get("var_name"):
+                    raise ValueError(f"Output #{i + 1} is missing a "
+                                     "var_name!")
         self.cf_attrs = cf_attrs
 
         for k, v in kwds.items():
@@ -235,6 +258,13 @@ class Indicator:
         self._registry_id = f"{self.realm or 'generic'}.{self.identifier.upper()}"
         registry[self.identifier.upper()] = self
 
+    @property
+    def units(self):
+        """Declared output units: a list for multi-output indicators
+        (xclim:core/indicator.py cfattr accessors)."""
+        vals = [a.get("units", "") for a in self.cf_attrs]
+        return vals if len(vals) > 1 else vals[0]
+
     # ------------------------------------------------------------------
     # call pipeline (xclim:core/indicator.py:865-945)
     # ------------------------------------------------------------------
@@ -263,10 +293,13 @@ class Indicator:
                 call_kwargs[name] = p.value
             elif name in params:
                 call_kwargs[name] = params[name]
-        # extra kwargs routed through **indexer-style catch-alls
-        for name, v in params.items():
-            if name not in call_kwargs and name not in self.parameters:
-                call_kwargs[name] = v
+        # extra kwargs routed through **indexer-style catch-alls (only when
+        # the compute function actually takes **kwargs; indexer params for
+        # computes without them are consumed by IndexingIndicator)
+        if self._compute_has_kwargs():
+            for name, v in params.items():
+                if name not in call_kwargs and name not in self.parameters:
+                    call_kwargs[name] = v
         outs = self.compute(**call_kwargs)
         if not isinstance(outs, tuple):
             outs = (outs,)
@@ -318,14 +351,32 @@ class Indicator:
                 params[name] = bound[name]
             elif p.default is not _empty:
                 params[name] = p.default
-        # pass-through extra kwargs (e.g. indexer) if compute has **kwargs
-        has_kwargs = any(p.kind == inspect.Parameter.VAR_KEYWORD
-                         for p in self._sig.parameters.values())
-        if has_kwargs:
-            for k, v in bound.items():
-                if k not in das and k not in params and k not in self.parameters:
-                    params[k] = v
+        # pass-through extra kwargs (e.g. indexer) if compute has **kwargs;
+        # otherwise indexer keys are consumed by IndexingIndicator and any
+        # other stray kwarg is an error (the reference raises too)
+        extra = {k: v for k, v in bound.items()
+                 if k not in das and k not in params
+                 and k not in self.parameters}
+        if self._compute_has_kwargs():
+            params.update(extra)
+        elif extra:
+            idx = {k: extra.pop(k) for k in list(extra)
+                   if k in _INDEXER_KEYS or k == "indexer"}
+            if idx:
+                if not getattr(self, "_accepts_indexer", False):
+                    raise TypeError(
+                        f"Indicator {self.identifier} does not accept "
+                        f"time-indexing arguments ({sorted(idx)}).")
+                params.update(idx)
+            if extra:
+                raise TypeError(
+                    f"{self.identifier}() got unexpected keyword "
+                    f"argument(s): {sorted(extra)}")
         return das, params
+
+    def _compute_has_kwargs(self) -> bool:
+        return any(p.kind == inspect.Parameter.VAR_KEYWORD
+                   for p in self._sig.parameters.values())
 
     def _preprocess_and_checks(self, das, params):
         """Health checks (xclim:core/indicator.py:999)."""
@@ -521,8 +572,26 @@ class ResamplingIndicator(CheckMissingIndicator):
 
 
 class IndexingIndicator(Indicator):
-    """Injects day-of-year/date/month/season selection kwargs
-    (xclim:core/indicator.py:1626)."""
+    """Adds time-indexing kwargs that subset the inputs before computation
+    (xclim:core/indicator.py:1626-1655): when the compute function has no
+    ``**indexer`` of its own, the inputs are masked with ``select_time``
+    here, and the missing-value check sees the same indexer."""
+
+    _accepts_indexer = True
+
+    def _preprocess_and_checks(self, das, params):
+        super()._preprocess_and_checks(das, params)
+        if self._compute_has_kwargs():
+            return  # the compute function applies its own indexer
+        indxr = {k: params[k] for k in _INDEXER_KEYS
+                 if params.get(k) is not None}
+        nested = params.get("indexer")
+        if isinstance(nested, dict):
+            indxr.update({k: v for k, v in nested.items() if v is not None})
+        if indxr:
+            for name, da in list(das.items()):
+                if getattr(da, "time", None) is not None:
+                    das[name] = da.select_time(**indxr)
 
 
 class ResamplingIndicatorWithIndexing(ResamplingIndicator, IndexingIndicator):

@@ -94,9 +94,13 @@ class MissingBase:
             else jnp.ones(da.shape, dtype=bool)
         sel = select_time_mask(da.time, **{k: v for k, v in indexer.items() if v is not None})
         ax = da.time_axis
-        shape = [1] * da.ndim
-        shape[ax] = len(sel)
-        return valid & jnp.asarray(sel).reshape(shape), ax
+        if not sel.all():
+            shape = [1] * da.ndim
+            shape[ax] = len(sel)
+            valid = valid & jnp.asarray(sel).reshape(shape)
+        # else: keep `valid` as the bare ~isnan so XLA can CSE it with the
+        # identical count the main reduction computes in the same program
+        return valid, ax
 
     def is_missing(self, valid, count, spec, ax):
         raise NotImplementedError

@@ -4,7 +4,7 @@
 from __future__ import annotations
 
 from xclim_tpu import indices
-from xclim_tpu.core.indicator import Daily, ResamplingIndicatorWithIndexing
+from xclim_tpu.core.indicator import Daily, Hourly, ResamplingIndicatorWithIndexing
 
 __all__ = [
     "api",
@@ -71,6 +71,14 @@ class PrecipWithIndexing(ResamplingIndicatorWithIndexing):
     keywords = "precipitation"
     src_freq = "D"
     context = "hydro"
+
+
+class HrPrecip(Hourly):
+    """Indicator on hourly pr series (xclim:atmos/_precip.py:120)."""
+
+    context = "hydro"
+    keywords = "precipitation"
+    src_freq = "h"
 
 
 precip_accumulation = PrecipWithIndexing(
@@ -166,7 +174,7 @@ max_n_day_precipitation_amount = Precip(
     compute=indices.max_n_day_precipitation_amount,
 )
 
-max_pr_intensity = Precip(
+max_pr_intensity = HrPrecip(
     identifier="max_pr_intensity",
     title="Maximum precipitation intensity",
     units="mm h-1",
@@ -574,7 +582,7 @@ rprctot = PrecipWithIndexing(
     compute=indices.rprctot,
 )
 
-water_cycle_intensity = Precip(
+water_cycle_intensity = PrecipWithIndexing(
     identifier="water_cycle_intensity",
     title="Water cycle intensity",
     units="mm",
@@ -584,7 +592,7 @@ water_cycle_intensity = Precip(
     compute=indices.water_cycle_intensity,
 )
 
-aridity_index = Precip(
+aridity_index = PrecipWithIndexing(
     identifier="aridity_index",
     title="Aridity index",
     units="",

@@ -129,7 +129,7 @@ class TempWithIndexing(ResamplingIndicatorWithIndexing):
     context = "none"
 
 
-tg_mean = Temp(
+tg_mean = TempWithIndexing(
     identifier="tg_mean",
     title="Mean temperature",
     units="K",
@@ -141,7 +141,7 @@ tg_mean = Temp(
     compute=indices.tg_mean,
 )
 
-tg_max = Temp(
+tg_max = TempWithIndexing(
     identifier="tg_max",
     title="Maximum of mean temperature",
     units="K",
@@ -152,7 +152,7 @@ tg_max = Temp(
     compute=indices.tg_max,
 )
 
-tg_min = Temp(
+tg_min = TempWithIndexing(
     identifier="tg_min",
     title="Minimum of mean temperature",
     units="K",
@@ -163,7 +163,7 @@ tg_min = Temp(
     compute=indices.tg_min,
 )
 
-tx_mean = Temp(
+tx_mean = TempWithIndexing(
     identifier="tx_mean",
     title="Mean of maximum temperature",
     units="K",
@@ -174,7 +174,7 @@ tx_mean = Temp(
     compute=indices.tx_mean,
 )
 
-tx_max = Temp(
+tx_max = TempWithIndexing(
     identifier="tx_max",
     title="Maximum temperature",
     units="K",
@@ -185,7 +185,7 @@ tx_max = Temp(
     compute=indices.tx_max,
 )
 
-tx_min = Temp(
+tx_min = TempWithIndexing(
     identifier="tx_min",
     title="Minimum of maximum temperature",
     units="K",
@@ -196,7 +196,7 @@ tx_min = Temp(
     compute=indices.tx_min,
 )
 
-tn_mean = Temp(
+tn_mean = TempWithIndexing(
     identifier="tn_mean",
     title="Mean of minimum temperature",
     units="K",
@@ -207,7 +207,7 @@ tn_mean = Temp(
     compute=indices.tn_mean,
 )
 
-tn_max = Temp(
+tn_max = TempWithIndexing(
     identifier="tn_max",
     title="Maximum of minimum temperature",
     units="K",
@@ -218,7 +218,7 @@ tn_max = Temp(
     compute=indices.tn_max,
 )
 
-tn_min = Temp(
+tn_min = TempWithIndexing(
     identifier="tn_min",
     title="Minimum temperature",
     units="K",

@@ -33,7 +33,15 @@ class Snow(Daily):
     keywords = "snow"
 
 
-snd_season_length = Snow(
+class SnowWithIndexing(ResamplingIndicatorWithIndexing):
+    """Snow indicator with **indexer support (xclim:land/_snow.py)."""
+
+    realm = "land"
+    keywords = "snow"
+    src_freq = "D"
+
+
+snd_season_length = SnowWithIndexing(
     identifier="snd_season_length",
     title="Snow cover duration (depth)",
     units="days",
@@ -44,7 +52,7 @@ snd_season_length = Snow(
     compute=indices.snd_season_length,
 )
 
-snw_season_length = Snow(
+snw_season_length = SnowWithIndexing(
     identifier="snw_season_length",
     title="Snow cover duration (amount)",
     units="days",
@@ -93,7 +101,7 @@ snw_season_end = Snow(
     compute=indices.snw_season_end,
 )
 
-snd_storm_days = Snow(
+snd_storm_days = SnowWithIndexing(
     identifier="snd_storm_days",
     title="Winter storm days (depth)",
     units="days",
@@ -102,7 +110,7 @@ snd_storm_days = Snow(
     compute=indices.snd_storm_days,
 )
 
-snw_storm_days = Snow(
+snw_storm_days = SnowWithIndexing(
     identifier="snw_storm_days",
     title="Winter storm days (amount)",
     units="days",
@@ -112,7 +120,7 @@ snw_storm_days = Snow(
     compute=indices.snw_storm_days,
 )
 
-snd_days_above = Snow(
+snd_days_above = SnowWithIndexing(
     identifier="snd_days_above",
     title="Days with snow (depth)",
     units="days",
@@ -121,7 +129,7 @@ snd_days_above = Snow(
     compute=indices.snd_days_above,
 )
 
-snw_days_above = Snow(
+snw_days_above = SnowWithIndexing(
     identifier="snw_days_above",
     title="Days with snow (amount)",
     units="days",
@@ -141,7 +149,7 @@ blowing_snow = Snow(
 )
 
 
-snow_depth = Snow(
+snow_depth = SnowWithIndexing(
     identifier="snow_depth",
     title="Mean snow depth",
     units="cm",
@@ -150,14 +158,6 @@ snow_depth = Snow(
     cell_methods="time: mean over days",
     compute=indices.snow_depth,
 )
-
-
-class SnowWithIndexing(ResamplingIndicatorWithIndexing):
-    """Snow indicator with **indexer support (xclim:land/_snow.py)."""
-
-    realm = "land"
-    keywords = "snow"
-    src_freq = "D"
 
 
 snd_max_doy = SnowWithIndexing(

@@ -507,51 +507,104 @@ def extreme_temperature_range(low_data: ClimArray, high_data: ClimArray,
 # ---------------------------------------------------------------------------
 
 
+_MAX_DOM = {1: 31, 2: 29, 3: 31, 4: 30, 5: 31, 6: 30, 7: 31, 8: 31, 9: 30,
+            10: 31, 11: 30, 12: 31}
+
+
+def _md_key_checked(s: str) -> int:
+    """'MM-DD' → month*100+day, raising on malformed dates
+    (the reference's datetime parse raises on e.g. '02-31')."""
+    mm, dd = s.split("-")
+    m, d = int(mm), int(dd)
+    if not (1 <= m <= 12) or not (1 <= d <= _MAX_DOM[m]):
+        raise ValueError(f"Invalid day-of-year date string {s!r}.")
+    return m * 100 + d
+
+
 def aggregate_between_dates(data: ClimArray, start, end, op: str = "sum",
                             freq: str = "YS") -> ClimArray:
-    """Aggregate between two doys — DayOfYearStr or per-period doy ClimArrays
-    (xclim generic.py:1417). Periods where a bound is NaN yield NaN."""
+    """Aggregate between two bounds — DayOfYearStr or per-period doy
+    ClimArrays (xclim generic.py:1417).
+
+    Reference semantics (pinned by xclim:tests/test_generic.py:127-316):
+    each bound is located WITHIN its resampling segment as the first step
+    matching the bound's day-of-year (or month-day for strings), so windows
+    may wrap a non-January anchor; the end bound is EXCLUSIVE (the
+    reference masks ``days <= end_d - 1``, generic.py:1499). Segments where
+    a bound is NaN, never occurs, or starts after it ends yield NaN; a
+    valid empty window sums to 0 (xarray ``sum(skipna=True)``).
+    """
     spec = resample_segments(data.time, freq)
     time = data.time
     n = len(time)
     ax = data.time_axis
-
-    def doy_bound(bound):
-        if bound is None:
-            return None
-        if isinstance(bound, str):
-            d = doy_from_string(bound, time.calendar)
-            return jnp.full((spec.nseg,), float(d))
-        return bound.data if isinstance(bound, ClimArray) else jnp.asarray(bound)
-
-    start_doy = doy_bound(start)
-    end_doy = doy_bound(end)
-    doyj = jnp.asarray(time.doy.astype(np.float32))
-    shape = [1] * data.ndim
-    shape[ax] = n
-    doyj = doyj.reshape(shape)
     segj = jnp.asarray(spec.seg_id)
+    seg_np = np.asarray(spec.seg_id)
+    first_step = np.zeros(spec.nseg, dtype=np.int64)
+    first_step[seg_np[::-1]] = np.arange(n)[::-1]
+    # days since segment start, per step (daily data; the reference
+    # subtracts timestamps, generic.py:1496)
+    d_np = (np.arange(n) - first_step[seg_np]).astype(np.float32)
+    doy_np = time.doy.astype(np.float32)
+    md_np = (time.month * 100 + time.day).astype(np.float32)
 
-    def per_step(b):
-        if b is None:
-            return None
-        if b.ndim == 1:  # (nseg,)
+    def bshape(arr1d):
+        sh = [1] * data.ndim
+        sh[ax] = n
+        return jnp.asarray(arr1d).reshape(sh)
+
+    dj = bshape(d_np)
+
+    def seg_reduce_min(vals):
+        """Segmented min over the time axis: (n, ...) -> (nseg, ...)."""
+        v0 = jnp.moveaxis(vals, ax, 0)
+        out = jnp.full((spec.nseg,) + v0.shape[1:], jnp.inf, v0.dtype)
+        out = out.at[segj].min(v0)
+        return out  # (nseg, ...)
+
+    def locate(bound):
+        """Days-since-segment-start of the bound, (nseg, ...) with +inf
+        where the bound never occurs and NaN where the bound is NaN."""
+        if isinstance(bound, str):
+            k = _md_key_checked(bound)
+            match = bshape(md_np) == float(k)
+            cand = jnp.where(match, dj, jnp.inf)
+            return seg_reduce_min(cand)
+        b = bound.data if isinstance(bound, ClimArray) else jnp.asarray(bound)
+        if b.ndim == 1:
             sh = [1] * data.ndim
             sh[ax] = spec.nseg
             b = b.reshape(sh)
-        return jnp.take(b, segj, axis=ax)
+        B = jnp.take(b, segj, axis=ax)  # per-step bound value
+        match = bshape(doy_np) == B
+        cand = jnp.where(match, dj, jnp.inf)
+        loc = seg_reduce_min(cand)
+        # propagate NaN bounds (min with inf loses them)
+        bseg = jnp.moveaxis(b, ax, 0)
+        return jnp.where(jnp.isnan(bseg), jnp.nan, loc)
 
-    s = per_step(start_doy)
-    e = per_step(end_doy)
-    mask = jnp.ones_like(doyj, dtype=bool)
-    if s is not None:
-        mask = mask & (doyj >= s) & ~jnp.isnan(s)
-    if e is not None:
-        # end bound is EXCLUSIVE: the reference masks `days <= end_d - 1`
-        # (xclim generic.py:1499)
-        mask = mask & (doyj < e) & ~jnp.isnan(e)
-    masked = data.copy(data=jnp.where(mask, data.data, jnp.nan))
-    out = getattr(masked.resample(freq), op)()
+    S = locate(start)  # (nseg, ...)
+    E = locate(end)
+    bad = jnp.isnan(S) | jnp.isnan(E) | jnp.isinf(S) | jnp.isinf(E) | (S > E)
+
+    Ss = jnp.take(S, segj, axis=0)
+    Es = jnp.take(E, segj, axis=0)
+    Ss = jnp.moveaxis(Ss, 0, ax)
+    Es = jnp.moveaxis(Es, 0, ax)
+    mask = (dj >= Ss) & (dj < Es)
+
+    if op in ("sum", "integral"):
+        # xarray sum(skipna=True): excluded/NaN steps contribute 0, an
+        # empty-but-valid window sums to 0
+        filled = jnp.where(mask & ~jnp.isnan(data.data), data.data, 0.0)
+        masked = data.copy(data=filled)
+        out = masked.resample(freq).sum()
+    else:
+        masked = data.copy(data=jnp.where(mask, data.data, jnp.nan))
+        out = getattr(masked.resample(freq), op)()
+    badb = jnp.moveaxis(jnp.broadcast_to(
+        bad, (spec.nseg,) + tuple(np.delete(np.array(out.shape), ax))), 0, ax)
+    out = out.copy(data=jnp.where(badb, jnp.nan, out.data))
     out.attrs["units"] = data.attrs.get("units", "")
     if op == "integral":
         return to_agg_units(out, data, "integral")
