@@ -61,6 +61,84 @@ def _fingerprint(obj):
             hashlib.blake2b(arr.tobytes(), digest_size=8).hexdigest())
 
 
+def _abstract_proto(fn, args, kwargs):
+    """Run `fn` under jax.eval_shape to capture its output structure
+    (ClimArray dims/coords/attrs) without executing any device work.
+
+    Returns the output pytree whose ClimArray ``.data`` entries are
+    ShapeDtypeStructs (callers only ever ``proto.copy(data=real)``), or
+    None if the function is not abstractly traceable (e.g. it branches on
+    data values host-side)."""
+
+    def leaves(o, acc):
+        if isinstance(o, ClimArray):
+            acc.append(o.data)
+        elif isinstance(o, (list, tuple)):
+            for x in o:
+                leaves(x, acc)
+        elif isinstance(o, dict):
+            for x in o.values():
+                leaves(x, acc)
+        return acc
+
+    datas = leaves(list(args), [])
+    datas = leaves(list(kwargs.values()), datas)
+    captured = {}
+
+    def shell(ds):
+        it = iter(ds)
+
+        def rebuild(o):
+            if isinstance(o, ClimArray):
+                return ClimArray(next(it), o.dims, o.coords, o.attrs, o.name)
+            if isinstance(o, (list, tuple)):
+                return type(o)(rebuild(x) for x in o)
+            if isinstance(o, dict):
+                return {k: rebuild(v) for k, v in o.items()}
+            return o
+
+        new_args = tuple(rebuild(a) for a in args)
+        new_kwargs = {k: rebuild(v) for k, v in kwargs.items()}
+        out = fn(*new_args, **new_kwargs)
+        captured["out"] = out
+        return leaves(out, []) if not isinstance(out, ClimArray) else [out.data]
+
+    try:
+        shapes = jax.eval_shape(shell, [jax.ShapeDtypeStruct(d.shape, d.dtype)
+                                        for d in datas])
+    except Exception:
+        return None
+    out = captured.get("out")
+
+    # swap the leaked tracers inside the captured structure for inert
+    # ShapeDtypeStructs (they are never executed, only replaced by
+    # ``proto.copy(data=...)``, but holding dead tracers would trip
+    # JAX_CHECK_TRACER_LEAKS)
+    shapes_it = iter(shapes if isinstance(shapes, (list, tuple)) else [shapes])
+
+    def strip(o):
+        if isinstance(o, ClimArray):
+            return ClimArray(next(shapes_it), o.dims, o.coords, o.attrs,
+                             o.name)
+        if isinstance(o, tuple) and hasattr(o, "_fields"):  # namedtuple
+            return type(o)(*(strip(x) for x in o))
+        if isinstance(o, (list, tuple)):
+            return type(o)(strip(x) for x in o)
+        if isinstance(o, dict):
+            return {k: strip(v) for k, v in o.items()}
+        if hasattr(o, "__jax_array__") or "Tracer" in type(o).__name__ or \
+                type(o).__name__ == "ClimDataset":
+            # unknown containers / raw tracers: make the caller fall back
+            # to the eager proto pass rather than hold dead tracers
+            raise TypeError("unstrippable value in output structure")
+        return o
+
+    try:
+        return strip(out)
+    except Exception:
+        return None
+
+
 def climjit(fn):
     """Wrap an index function for whole-pipeline XLA compilation.
 
@@ -122,15 +200,18 @@ def climjit(fn):
                     collect(v)
                 return jitted(datas)
 
-            # run once eagerly to capture the output structure (coords/attrs)
-            proto = fn(*args, **kwargs)
+            # capture the output structure (coords/attrs) under ABSTRACT
+            # tracing — no eager execution of the full pipeline (which at
+            # e.g. (3650, 512, 512) runs for seconds and can exhaust chip
+            # memory since nothing fuses outside jit)
+            proto = _abstract_proto(fn, args, kwargs)
+            if proto is None:  # not traceable host-side: fall back to eager
+                proto = fn(*args, **kwargs)
+                cache[key] = (runner, proto)
+                return proto
             cache[key] = (runner, proto)
-            first = True
         else:
             runner, proto = cache[key]
-            first = False
-        if first:
-            return proto
         res = runner(args, kwargs)
         if isinstance(proto, ClimArray):
             return proto.copy(data=res)

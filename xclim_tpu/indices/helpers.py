@@ -110,9 +110,10 @@ def cosine_of_solar_zenith_angle(time, lat, lon=None, stat: str = "average",
     phi = np.deg2rad(latv)
     decl = solar_declination(time)
     d = decl[:, None]
+    lonv = np.deg2rad(np.asarray(getattr(lon, "values",
+                                         lon if lon is not None else 0.0),
+                                 dtype=np.float64)).reshape(-1)
     if stat == "instant":
-        lonv = np.deg2rad(np.asarray(getattr(lon, "values", lon if lon is not None else 0.0),
-                                     dtype=np.float64)).reshape(-1)
         tc = (0.004297 + 0.107029 * np.cos(_day_angle(time))
               - 1.837877 * np.sin(_day_angle(time))
               - 0.837378 * np.cos(2 * _day_angle(time))
@@ -123,16 +124,85 @@ def cosine_of_solar_zenith_angle(time, lat, lon=None, stat: str = "average",
         czda = (np.sin(d) * np.sin(phi)[None, :]
                 + np.cos(d) * np.cos(phi)[None, :] * np.cos(h))
         return _wrap_solar(czda, time, lat, "", "csza")
-    ws = np.arccos(np.clip(-np.tan(phi)[None, :] * np.tan(d), -1.0, 1.0))
-    # integral of cosZ over [-ωs, ωs]: 2(ωs sinφ sinδ + cosφ cosδ sin ωs)
-    integ = 2 * (ws * np.sin(phi)[None, :] * np.sin(d)
-                 + np.cos(phi)[None, :] * np.cos(d) * np.sin(ws))
-    if sunlit:
-        denom = 2 * ws
-        czda = np.where(denom > 0, integ / np.where(denom == 0, 1, denom), 0.0)
+    if stat not in ("average", "integral"):
+        raise NotImplementedError(
+            "stat must be one of 'average', 'integral' or 'instant'.")
+    # interval bounds in local hour angle (xclim:indices/helpers.py:310-325):
+    # daily (or <3 steps) data integrates the whole day centred on noon;
+    # subdaily timestamps mark the START of each interval
+    freq = time.infer_freq() if len(time) >= 3 else "D"
+    if len(time) < 3 or (freq or "D").endswith("D"):
+        h_s = np.full((len(time), 1), -np.pi)
+        h_e = np.full((len(time), 1), np.pi - 1e-9)
     else:
-        czda = integ / (2 * np.pi)
+        secs = time.seconds_of_day.astype(np.float64)
+        h_s_utc = (secs / 86400.0) * 2 * np.pi + np.pi
+        h_s = h_s_utc[:, None] + lonv[None, :]
+        # interval length to the next timestamp (wrap across midnight,
+        # backfill the last step)
+        step = np.concatenate([np.diff(secs) % 86400.0, [0.0]])
+        step[step == 0] = step[step != 0][0] if (step != 0).any() else 86400.0
+        h_e = h_s + 2 * np.pi * step[:, None] / 86400.0
+    if sunlit:
+        tantan = -np.tan(phi)[None, :] * np.tan(d)
+        h_ss = np.where(np.abs(tantan) <= 1, np.arccos(np.clip(tantan, -1, 1)),
+                        np.nan)
+    else:
+        h_ss = np.full_like(d * np.ones((1, len(phi))), np.pi - 1e-9)
+    czda = _sunlit_integral_cosz(d, np.deg2rad(latv)[None, :], h_ss,
+                                 _wrap_rad(h_s), _wrap_rad(h_e),
+                                 stat == "average")
     return _wrap_solar(czda, time, lat, "", "csza")
+
+
+def _wrap_rad(x):
+    """Wrap angles into (-π, π]."""
+    return ((np.asarray(x, dtype=np.float64) + np.pi) % (2 * np.pi)) - np.pi
+
+
+def _sunlit_integral_cosz(decl, lat, h_ss, h_s, h_e, average):
+    """Integral (or average) of cos(zenith) over the sunlit part of the
+    interval [h_s, h_e] — vectorized branch-free port of the reference's
+    numba kernel (xclim:indices/helpers.py:355-398, after PyWBGT),
+    including the interval-crossing-midnight cases."""
+    decl, lat, h_ss, h_s, h_e = np.broadcast_arrays(decl, lat, h_ss, h_s,
+                                                    h_e)
+    h_sr = -h_ss  # sunrise
+    sin = np.sin
+    polar_day = np.isnan(h_ss) & (decl * lat > 0)
+    polar_night = np.isnan(h_ss) & (decl * lat < 0)
+    cross = h_e < h_s
+    # guard NaN comparisons by substituting the whole-day sunset
+    ss = np.where(np.isnan(h_ss), np.pi, h_ss)
+    sr = -ss
+    dark = ((h_s > ss) & (h_e < sr)) | ((h_s < sr) & (h_e < sr)) | \
+        ((h_s > ss) & (h_e > ss))
+    # midnight-crossing sub-cases
+    c1 = cross & (h_e >= sr) & (h_s >= ss)          # night start, sunrise end
+    c2 = cross & (h_s >= sr) & (sr >= h_e)          # sunlit start, night end
+    c3 = cross & (ss >= h_s) & (h_s > h_e) & (h_e >= sr)  # two sunlit parts
+    h1 = np.maximum(sr, h_s)
+    h2 = np.minimum(ss, h_e)
+    num = np.select(
+        [polar_day, c1, c2, c3],
+        [sin(h_e) - sin(h_s),
+         sin(h_e) - sin(sr),
+         sin(ss) - sin(h_s),
+         sin(ss) - sin(h_s) + sin(h_e) - sin(sr)],
+        default=sin(h2) - sin(h1))
+    den = np.select(
+        [polar_day & cross, polar_day, c1, c2, c3],
+        [h_e + 2 * np.pi - h_s,
+         h_e - h_s,
+         h_e - sr,
+         ss - h_s,
+         ss - h_s + h_e - sr],
+        default=h2 - h1)
+    out = sin(decl) * sin(lat) * den + np.cos(decl) * np.cos(lat) * num
+    if average:
+        out = np.where(den != 0, out / np.where(den == 0, 1.0, den), 0.0)
+    zero = polar_night | (~polar_day & dark)
+    return np.where(zero, 0.0, out)
 
 
 @declare_units(solar_constant="[radiation]")

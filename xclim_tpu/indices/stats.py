@@ -193,6 +193,93 @@ def _fit_weibull(x, axis, method):
     return (c, mn, scale)
 
 
+def _gev_nll(theta, x, valid):
+    """Negative log-likelihood of GEV in scipy's parameterization
+    (c, loc, log_scale); invalid support → large penalty."""
+    c, loc, lsc = theta
+    scale = jnp.exp(lsc)
+    z = (x - loc) / scale
+    # scipy genextreme: support 1 - c z > 0
+    t = 1.0 - c * z
+    ok = valid & (t > 1e-10)
+    ts = jnp.where(ok, t, 1.0)
+    # log pdf = -log scale + (1/c - 1) log t - t^(1/c)
+    logpdf = -lsc + (1.0 / c - 1.0) * jnp.log(ts) - ts ** (1.0 / c)
+    # Gumbel limit c→0 handled by the caller's c0 never being ~0 here
+    pen = jnp.where(valid & ~(t > 1e-10), 1e6, 0.0)
+    return -(jnp.where(ok, logpdf, 0.0) - pen).sum()
+
+
+def _weibull_nll(theta, x, valid):
+    """NLL of weibull_min (log_c, loc, log_scale); x > loc required."""
+    lc, loc, lsc = theta
+    c = jnp.exp(lc)
+    scale = jnp.exp(lsc)
+    z = (x - loc) / scale
+    ok = valid & (z > 1e-10)
+    zs = jnp.where(ok, z, 1.0)
+    logpdf = lc - lsc + (c - 1.0) * jnp.log(zs) - zs ** c
+    pen = jnp.where(valid & ~(z > 1e-10), 1e6, 0.0)
+    return -(jnp.where(ok, logpdf, 0.0) - pen).sum()
+
+
+def _ml_refine(nll, theta0, x, valid, iters: int = 60):
+    """Refine a parameter start by BFGS on the per-cell NLL (the analogue of
+    the reference's scipy MLE seeded by ``_fit_start``,
+    xclim:indices/stats.py:576-684). Falls back to the start where the
+    refinement diverges or does not improve the likelihood."""
+    from jax.scipy.optimize import minimize
+
+    def one(t0, xr, vr):
+        res = minimize(lambda t: nll(t, xr, vr), t0, method="BFGS",
+                       options={"maxiter": iters})
+        better = (res.fun < nll(t0, xr, vr)) & jnp.all(jnp.isfinite(res.x))
+        return jnp.where(better, res.x, t0)
+
+    return jax.vmap(one)(theta0, x, valid)
+
+
+def _fit_genextreme_ml(x, axis, method):
+    """GEV: L-moment start + per-cell BFGS maximum likelihood."""
+    c0, loc0, sc0 = _fit_genextreme(x, axis, method)
+    xf = jnp.moveaxis(x, axis, -1)
+    sh = xf.shape[:-1]
+    rows = xf.reshape(-1, xf.shape[-1])
+    valid = ~jnp.isnan(rows)
+    rows0 = jnp.where(valid, rows, 0.0)
+    theta0 = jnp.stack([c0.reshape(-1), loc0.reshape(-1),
+                        jnp.log(jnp.maximum(sc0.reshape(-1), 1e-10))],
+                       axis=-1)
+    th = _ml_refine(_gev_nll, theta0, rows0, valid)
+    return (th[:, 0].reshape(sh), th[:, 1].reshape(sh),
+            jnp.exp(th[:, 2]).reshape(sh))
+
+
+def _fit_weibull_ml(x, axis, method):
+    """weibull_min: Cooke-1979-style start + per-cell BFGS ML
+    (the reference's _fit_start recipe, xclim:indices/stats.py:633-638)."""
+    xf = jnp.moveaxis(x, axis, -1)
+    sh = xf.shape[:-1]
+    rows = jnp.where(jnp.isnan(xf), jnp.nan, xf).reshape(-1, xf.shape[-1])
+    valid = ~jnp.isnan(rows)
+    sd = jnp.sqrt(jnp.nanvar(rows, axis=-1))
+    loc0 = jnp.nanmin(rows, axis=-1) - 0.01 * sd
+    sl = jnp.log(jnp.where(valid, rows - loc0[:, None], 1.0))
+    nn = jnp.maximum(valid.sum(-1), 1)
+    mu_l = jnp.where(valid, sl, 0.0).sum(-1) / nn
+    var_l = (jnp.where(valid, (sl - mu_l[:, None]) ** 2, 0.0).sum(-1)
+             / jnp.maximum(nn - 1, 1))
+    c0 = jnp.pi / jnp.sqrt(6.0) / jnp.sqrt(jnp.maximum(var_l, 1e-12))
+    pw = jnp.where(valid, (rows - loc0[:, None]) ** c0[:, None], 0.0)
+    sc0 = (pw.sum(-1) / nn) ** (1.0 / c0)
+    theta0 = jnp.stack([jnp.log(jnp.maximum(c0, 1e-6)), loc0,
+                        jnp.log(jnp.maximum(sc0, 1e-10))], axis=-1)
+    rows0 = jnp.where(valid, rows, 0.0)
+    th = _ml_refine(_weibull_nll, theta0, rows0, valid)
+    return (jnp.exp(th[:, 0]).reshape(sh), th[:, 1].reshape(sh),
+            jnp.exp(th[:, 2]).reshape(sh))
+
+
 _FITTERS = {
     "norm": _fit_norm,
     "expon": _fit_expon,
@@ -202,6 +289,13 @@ _FITTERS = {
     "genextreme": _fit_genextreme,
     "fisk": _fit_fisk,
     "weibull_min": _fit_weibull,
+}
+
+# true maximum-likelihood variants seeded by the closed-form estimates
+# (used when method='ML'; 'PWM'/'APP' keep the closed forms)
+_ML_FITTERS = {
+    "genextreme": _fit_genextreme_ml,
+    "weibull_min": _fit_weibull_ml,
 }
 
 
@@ -319,7 +413,8 @@ def fit(da: ClimArray, dist: str = "norm", method: str = "ML",
         if names is None:
             names = ([chr(ord("a") + i) for i in range(nparams - 2)] + ["loc", "scale"])
     else:
-        ptuple = _FITTERS[dist](da.data, ax, method)
+        fitter = _ML_FITTERS.get(dist) if method in ("ML", "MLE") else None
+        ptuple = (fitter or _FITTERS[dist])(da.data, ax, method)
         params = jnp.stack(list(ptuple), axis=0)
     out_dims = ("dparams",) + tuple(d for d in da.dims if d != dim)
     coords = {c: v for c, v in da.coords.items() if c != dim}
