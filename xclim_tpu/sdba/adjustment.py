@@ -323,6 +323,44 @@ class Scaling(TrainAdjust):
         return _apply_scaled(sim, self.ds["af"], self.group, self.kind)
 
 
+@functools.partial(jax.jit, static_argnames=("th",))
+def _loci_train_core(xref, xhist, tref, thist, *, th):
+    """Per-group exceedance matching + scaling factors as one program."""
+    gr = gather_groups(xref, tref)
+    gh = gather_groups(xhist, thist)
+    # exceedance probability of thresh in ref, per group
+    wet = jnp.where(jnp.isnan(gr), jnp.nan, (gr >= th).astype(jnp.float32))
+    frac = jnp.nanmean(wet, axis=1)  # (G, ...)
+    # hist threshold at the same exceedance probability
+    q = jnp.clip(1.0 - frac, 0.0, 1.0)
+    gh_qfirst = jnp.moveaxis(gh, 1, 0)  # (maxlen, G, ...)
+    s = jnp.sort(gh_qfirst, axis=0)
+    nvalid = (~jnp.isnan(gh_qfirst)).sum(axis=0)
+    # Hyndman-Fan type-7 on the valid prefix, vectorized over groups
+    h = q * (nvalid - 1)
+    lo = jnp.clip(jnp.floor(h).astype(jnp.int32), 0, s.shape[0] - 1)
+    hi = jnp.clip(lo + 1, 0, s.shape[0] - 1)
+    w = h - lo
+    s_thresh = (jnp.take_along_axis(s, lo[None], axis=0)[0] * (1 - w) +
+                jnp.take_along_axis(
+                    s, jnp.minimum(hi, jnp.maximum(nvalid - 1, 0))[None],
+                    axis=0)[0] * w)
+    s_thresh = jnp.where(nvalid > 0, s_thresh, jnp.nan)
+    # mean exceedance ratio
+    mr = jnp.nanmean(jnp.where(gr >= th, gr, jnp.nan), axis=1) - th
+    mh = jnp.nanmean(jnp.where(gh >= s_thresh[:, None], gh, jnp.nan),
+                     axis=1) - s_thresh
+    af = mr / jnp.where(mh == 0, jnp.nan, mh)
+    return af, s_thresh
+
+
+@functools.partial(jax.jit, static_argnames=("th",))
+def _loci_adjust_core(xf, gid, af, s_thresh, *, th):
+    afs = jnp.take(af, gid, axis=0)  # (T, ...)
+    sts = jnp.take(s_thresh, gid, axis=0)
+    return jnp.maximum(afs * (xf - sts) + th, 0.0)
+
+
 class LOCI(TrainAdjust):
     """Local intensity scaling (Schmidli et al. 2006; xsdba.LOCI).
 
@@ -336,51 +374,21 @@ class LOCI(TrainAdjust):
     def _train(cls, ref, hist, *, group: Grouper, thresh: str = "1 mm/d"):
         th = convert_units_to(str2pint(thresh), ref, context="infer") \
             if isinstance(thresh, str) else float(thresh)
-
-        def _gather(da):
-            table = group.train_table(da.time)
-            xf = jnp.moveaxis(da.data, da.time_axis, 0)
-            t = jnp.asarray(table)
-            g = xf[jnp.maximum(t, 0)]
-            ok = (t >= 0).reshape(t.shape + (1,) * (g.ndim - 2))
-            return jnp.where(ok, g, jnp.nan)  # (G, maxlen, ...)
-
-        from xclim_tpu.ops.quantile import nan_quantile
-
-        gr = _gather(ref)
-        gh = _gather(hist)
-        # exceedance probability of thresh in ref, per group
-        wet = jnp.where(jnp.isnan(gr), jnp.nan, (gr >= th).astype(jnp.float32))
-        frac = jnp.nanmean(wet, axis=1)  # (G, ...)
-        # hist threshold at the same exceedance probability
-        q = jnp.clip(1.0 - frac, 0.0, 1.0)
-        gh_qfirst = jnp.moveaxis(gh, 1, 0)  # (maxlen, G, ...)
-        s = jnp.sort(gh_qfirst, axis=0)
-        nvalid = (~jnp.isnan(gh_qfirst)).sum(axis=0)
-        # Hyndman-Fan type-7 on the valid prefix, vectorized over groups
-        h = q * (nvalid - 1)
-        lo = jnp.clip(jnp.floor(h).astype(jnp.int32), 0, s.shape[0] - 1)
-        hi = jnp.clip(lo + 1, 0, s.shape[0] - 1)
-        w = h - lo
-        s_thresh = (jnp.take_along_axis(s, lo[None], axis=0)[0] * (1 - w) +
-                    jnp.take_along_axis(s, jnp.minimum(hi, jnp.maximum(nvalid - 1, 0))[None],
-                                        axis=0)[0] * w)
-        s_thresh = jnp.where(nvalid > 0, s_thresh, jnp.nan)
-        # mean exceedance ratio
-        mr = jnp.nanmean(jnp.where(gr >= th, gr, jnp.nan), axis=1) - th
-        mh = jnp.nanmean(jnp.where(gh >= s_thresh[:, None], gh, jnp.nan),
-                         axis=1) - s_thresh
-        af = mr / jnp.where(mh == 0, jnp.nan, mh)
+        xref = jnp.moveaxis(ref.data, ref.time_axis, 0)
+        xhist = jnp.moveaxis(hist.data, hist.time_axis, 0)
+        af, s_thresh = _loci_train_core(
+            xref, xhist, group.device_train_table(ref.time),
+            group.device_train_table(hist.time), th=float(th))
         return cls({"af": af, "hist_thresh": s_thresh}, group=group,
                    kind="*", thresh=th)
 
     def _adjust(self, sim: ClimArray, interp: str = "linear"):
-        gid = self.group.group_of_step(sim.time)
+        gid = jnp.asarray(self.group.group_of_step(sim.time))
         ax = sim.time_axis
-        af = jnp.take(self.ds["af"], jnp.asarray(gid), axis=0)  # (T, ...)
-        st = jnp.take(self.ds["hist_thresh"], jnp.asarray(gid), axis=0)
         xf = jnp.moveaxis(sim.data, ax, 0)
-        out = jnp.maximum(af * (xf - st) + self.thresh, 0.0)
+        out = _loci_adjust_core(xf, gid, self.ds["af"],
+                                self.ds["hist_thresh"],
+                                th=float(self.thresh))
         return sim.copy(data=jnp.moveaxis(out, 0, ax))
 
 
@@ -467,6 +475,33 @@ def _cluster_maxima(xf, u):
     return jnp.where(jnp.isinf(mx), jnp.nan, mx)
 
 
+@functools.partial(jax.jit, static_argnames=("u", "q_thresh"))
+def _ev_train_core(xf2, *, u, q_thresh):
+    """Declustered POT + L-moment GPD fit as one program (eager ops paid
+    a ~30 ms tunnel dispatch floor each)."""
+    from xclim_tpu.ops.quantile import nan_quantile
+
+    cm = _cluster_maxima(xf2, u)  # (C, E)
+    th = nan_quantile(cm.T, jnp.asarray([q_thresh]), axis=0)[0]  # (C,)
+    exc = jnp.where(cm > th[:, None], cm - th[:, None], jnp.nan)
+    k, s, n = _gpd_fit_lmom(exc, axis=-1)
+    return k, s, n, th
+
+
+@functools.partial(jax.jit, static_argnames=("frac", "power"))
+def _ev_adjust_core(x, scen, th_h, th_r, k_h, s_h, k_r, s_r, *, frac,
+                    power):
+    y = jnp.maximum(x - th_h, 0.0)
+    ph = _gpd_cdf(y, k_h, s_h)
+    transformed = th_r + _gpd_ppf(ph, k_r, s_r)
+    # weight: 0 until the (1-frac) exceedance probability of the POT
+    # level, ramping to 1 for the most extreme values
+    w = jnp.clip((ph - (1 - frac)) / frac, 0.0, 1.0) ** power
+    w = jnp.where(x > th_h, w, 0.0)
+    valid = ~jnp.isnan(transformed)
+    return jnp.where(valid, (1 - w) * scen + w * transformed, scen)
+
+
 class ExtremeValues(TrainAdjust):
     """Second-order adjustment of extreme values via Generalized-Pareto
     transfer (xsdba.ExtremeValues; Roy et al. 2023 method family).
@@ -490,8 +525,6 @@ class ExtremeValues(TrainAdjust):
     @classmethod
     def _train(cls, ref, hist, *, cluster_thresh="1 mm/d",
                q_thresh: float = 0.95, group="time"):
-        from xclim_tpu.ops.quantile import nan_quantile
-
         u = convert_units_to(str2pint(cluster_thresh), ref) \
             if isinstance(cluster_thresh, str) else float(cluster_thresh)
         gr = group if isinstance(group, Grouper) else Grouper(group)
@@ -501,10 +534,8 @@ class ExtremeValues(TrainAdjust):
             xf = jnp.moveaxis(da.data, ax, 0)
             shp = xf.shape[1:]
             xf2 = xf.reshape(xf.shape[0], -1)
-            cm = _cluster_maxima(xf2, u)  # (C, E)
-            th = nan_quantile(cm.T, jnp.asarray([q_thresh]), axis=0)[0]  # (C,)
-            exc = jnp.where(cm > th[:, None], cm - th[:, None], jnp.nan)
-            k, s, n = _gpd_fit_lmom(exc, axis=-1)
+            k, s, n, th = _ev_train_core(xf2, u=float(u),
+                                         q_thresh=float(q_thresh))
             rs = (lambda a: a.reshape(shp)) if shp else (lambda a: a[0])
             return rs(k), rs(s), rs(n), rs(th)
 
@@ -519,19 +550,11 @@ class ExtremeValues(TrainAdjust):
                 frac: float = 0.25, power: float = 1.0):
         if scen is None:
             scen = sim
-        th_h = self.ds["thresh_hist"]
-        th_r = self.ds["thresh_ref"]
-        x = sim.data
-        y = jnp.maximum(x - th_h, 0.0)
-        ph = _gpd_cdf(y, self.ds["k_hist"], self.ds["s_hist"])
-        transformed = th_r + _gpd_ppf(ph, self.ds["k_ref"], self.ds["s_ref"])
-        # weight: 0 until the (1-frac) exceedance probability of the POT
-        # level, ramping to 1 for the most extreme values
-        w = jnp.clip((ph - (1 - frac)) / frac, 0.0, 1.0) ** power
-        w = jnp.where(x > th_h, w, 0.0)
-        valid = ~jnp.isnan(transformed)
-        out = jnp.where(valid, (1 - w) * scen.data + w * transformed,
-                        scen.data)
+        out = _ev_adjust_core(sim.data, scen.data, self.ds["thresh_hist"],
+                              self.ds["thresh_ref"], self.ds["k_hist"],
+                              self.ds["s_hist"], self.ds["k_ref"],
+                              self.ds["s_ref"], frac=float(frac),
+                              power=float(power))
         res = scen.copy(data=out)
         res.attrs = dict(scen.attrs)
         return res
