@@ -203,9 +203,18 @@ def _pallas_threshold_count(da: ClimArray, op: str, thresh, freq: str):
     ax = da.time_axis
     xf = jnp.moveaxis(da.data.astype(jnp.float32), ax, 0)
     T = xf.shape[0]
-    cnt, _, _, _ = fused_spell_stats(xf.reshape(T, -1), spec,
-                                     thresh=float(thresh), window=1, op=op,
-                                     interpret=(mode == "interpret"))
+    try:
+        cnt, _, _, _ = fused_spell_stats(xf.reshape(T, -1), spec,
+                                         thresh=float(thresh), window=1,
+                                         op=op,
+                                         interpret=(mode == "interpret"))
+    except Exception:
+        # transient remote-compile failure: disable Pallas for this process
+        from xclim_tpu.ops.pallas.capability import set_pallas_mode
+
+        set_pallas_mode("off")
+        dispatch_counts["xla"] += 1
+        return None
     dispatch_counts["pallas"] += 1
     out_data = jnp.moveaxis(cnt.reshape((spec.nseg,) + xf.shape[1:]), 0, ax)
     coords = dict(da.coords)

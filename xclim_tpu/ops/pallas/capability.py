@@ -32,6 +32,29 @@ _MODE: str | None = None
 dispatch_counts = {"pallas": 0, "xla": 0}
 
 
+def _probe_cache_path() -> str | None:
+    """Disk marker for a successful probe, keyed by backend identity.
+
+    The tunnel backend's remote Mosaic compile takes minutes and fails
+    transiently (HTTP 500s); a past success in the same environment is the
+    best predictor, so one good probe is remembered across processes.
+    Failures are NOT cached — a flaky compile retries next process."""
+    try:
+        import jax
+
+        key = (jax.default_backend(),
+               os.environ.get("PALLAS_AXON_TPU_GEN", ""),
+               os.environ.get("PALLAS_AXON_REMOTE_COMPILE", ""))
+        base = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))))),
+            ".jax_cache")
+        os.makedirs(base, exist_ok=True)
+        return os.path.join(base, "pallas_ok_" + "_".join(
+            k.replace("/", "-") or "x" for k in key))
+    except Exception:
+        return None
+
+
 def _probe_mosaic() -> bool:
     """Try to compile + run the REAL spell kernel at a tiny shape.
 
@@ -39,7 +62,11 @@ def _probe_mosaic() -> bool:
     remote Mosaic AOT helper compiled it while rejecting the production
     kernel (e.g. `jnp.isnan` inside the kernel crashed it — found by
     bisection). Probing the actual kernel guarantees dispatch only claims
-    what the backend can deliver."""
+    what the backend can deliver. Runtime dispatch still falls back to XLA
+    if a later Pallas call fails (see generic._pallas_threshold_count)."""
+    marker = _probe_cache_path()
+    if marker and os.path.exists(marker):
+        return True
     try:
         import numpy as np
 
@@ -52,7 +79,11 @@ def _probe_mosaic() -> bool:
         x[3:5, :] = np.nan
         cnt, _, _, _ = fused_spell_stats(x, spec, thresh=0.5, window=2,
                                          op=">")
-        return bool(np.asarray(cnt)[0, 0] == 6.0)  # 8 days − 2 NaN
+        ok = bool(np.asarray(cnt)[0, 0] == 6.0)  # 8 days − 2 NaN
+        if ok and marker:
+            with open(marker, "w") as f:
+                f.write("ok\n")
+        return ok
     except Exception:
         return False
 

@@ -204,9 +204,18 @@ def _pallas_spell(x, window, axis, spec, resample_before_rl, what):
     T = bf.shape[0]
     shape_sp = bf.shape[1:]
     flat = bf.reshape(T, -1)
-    cnt, wrc, wre, lng = fused_spell_stats(
-        flat, spec, thresh=0.5, window=window, op=">",
-        interpret=(mode == "interpret"))
+    try:
+        cnt, wrc, wre, lng = fused_spell_stats(
+            flat, spec, thresh=0.5, window=window, op=">",
+            interpret=(mode == "interpret"))
+    except Exception:
+        # transient remote-compile failure: disable Pallas for this
+        # process and take the XLA path
+        from xclim_tpu.ops.pallas.capability import set_pallas_mode
+
+        set_pallas_mode("off")
+        dispatch_counts["xla"] += 1
+        return None
     out = {"cnt": cnt, "wrc": wrc, "wre": wre, "lng": lng}[what]
     dispatch_counts["pallas"] += 1
     return jnp.moveaxis(out.reshape((spec.nseg,) + shape_sp), 0, axis)
