@@ -152,3 +152,84 @@ class TestReduction:
         sel, clusters, fig_data = kmeans_reduce_ensemble(
             crit, method={"n_clusters": 4}, random_state=0, make_graph=False)
         assert len(sel) == 4
+
+
+class TestRobustnessExactFractions:
+    """Exact arithmetic cases from the reference
+    (xclim:tests/test_ensembles.py:685-760)."""
+
+    def test_delta_threshold(self):
+        from xclim_tpu.core.dataarray import ClimArray
+        from xclim_tpu.ensembles import robustness_fractions
+
+        delta = ClimArray(np.array([-2.0, 1, -2, -1, 0, 0]),
+                          ("realization",), attrs={"units": "K"}, name="d")
+        fr = robustness_fractions(delta, test="threshold", abs_thresh=1.5)
+        np.testing.assert_allclose(np.asarray(fr["changed"].data), 2 / 6)
+        np.testing.assert_allclose(
+            np.asarray(fr["changed_positive"].data), 0.0)
+        np.testing.assert_allclose(np.asarray(fr["positive"].data), 1 / 6)
+        np.testing.assert_allclose(np.asarray(fr["agree"].data), 3 / 6)
+
+    def test_delta_threshold_weighted(self):
+        from xclim_tpu.core.dataarray import ClimArray
+        from xclim_tpu.ensembles import robustness_fractions
+
+        delta = ClimArray(np.array([-2.0, 1, -2, -1]), ("realization",),
+                          attrs={"units": "K"}, name="d")
+        w = np.array([4.0, 3, 2, 1])
+        fr = robustness_fractions(delta, test="threshold", abs_thresh=1.5,
+                                  weights=w)
+        np.testing.assert_allclose(np.asarray(fr["changed"].data), 0.6)
+        np.testing.assert_allclose(np.asarray(fr["positive"].data), 0.3)
+        np.testing.assert_allclose(np.asarray(fr["agree"].data), 0.7)
+
+    def test_delta_not_strict(self):
+        from xclim_tpu.core.dataarray import ClimArray
+        from xclim_tpu.ensembles import robustness_fractions
+
+        delta = ClimArray(np.array([-2.0, 1, -2, -1, 2, 0]),
+                          ("realization",), attrs={"units": "K"}, name="d")
+        fr = robustness_fractions(delta, test=None, strict_sign=False)
+        np.testing.assert_allclose(np.asarray(fr["changed"].data), 1)
+        np.testing.assert_allclose(np.asarray(fr["positive"].data), 3 / 6)
+        np.testing.assert_allclose(np.asarray(fr["agree"].data), 4 / 6)
+
+    def test_all_nan_empty(self):
+        from xclim_tpu.core.calendar import date_range
+        from xclim_tpu.core.dataarray import ClimArray
+        from xclim_tpu.ensembles import robustness_fractions
+
+        t = date_range("1900-01-01", periods=10, freq="D")
+        r = np.full((20, 10), np.nan)
+        ref = ClimArray(r, ("realization", "time"), {"time": t},
+                        {"units": "K"}, "tas")
+        fut = ClimArray(r.copy(), ("realization", "time"), {"time": t},
+                        {"units": "K"}, "tas")
+        fr = robustness_fractions(fut, ref, test="ttest")
+        np.testing.assert_allclose(np.asarray(fr["changed"].data), 0)
+        np.testing.assert_allclose(np.asarray(fr["valid"].data), 0)
+
+
+class TestRobustnessCoefficient:
+    """xclim:tests/test_ensembles.py:742 — exact fixed-data values."""
+
+    def test_high_and_low(self):
+        from xclim_tpu.core.dataarray import ClimArray
+        from xclim_tpu.ensembles import robustness_coefficient
+
+        ref = ClimArray(np.array([274, 275, 274.5, 276, 274.3, 273.3]),
+                        ("time",), attrs={"units": "K"}, name="tas")
+        fut_hi = ClimArray(np.array(
+            [[277, 277.1, 278, 278.4, 278.1, 276.9],
+             [275, 275.8, 276, 275.2, 276.2, 275.7]]),
+            ("realization", "time"), attrs={"units": "K"}, name="tas")
+        R = float(np.asarray(robustness_coefficient(fut_hi, ref).data))
+        np.testing.assert_almost_equal(R, 0.91972477, decimal=6)
+
+        fut_mid = ClimArray(np.array(
+            [[277, 277.1, 278, 278.4, 278.1, 276.9],
+             [274, 274.8, 273.7, 274.2, 273.9, 274.5]]),
+            ("realization", "time"), attrs={"units": "K"}, name="tas")
+        R2 = float(np.asarray(robustness_coefficient(fut_mid, ref).data))
+        assert R2 < R

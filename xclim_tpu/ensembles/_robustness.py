@@ -134,32 +134,37 @@ def robustness_fractions(fut: ClimArray, ref: ClimArray | None = None,
     (xclim:ensembles/_robustness.py:74)."""
     rax = fut.dims.index("realization")
     if ref is None:
+        # fut IS the delta (no time axis) — delta-based tests still apply
+        # (xclim:ensembles/_robustness.py:164-180)
         deltas = fut.data
-        changed = jnp.ones_like(deltas, dtype=bool)
-        pvals = None
         valid = ~jnp.isnan(deltas)
+        ref_mean = None
         out_dims = tuple(d for d in fut.dims if d != "realization")
     else:
         tax = fut.dims.index("time")
         deltas = jnp.nanmean(fut.data, axis=tax) - jnp.nanmean(ref.data, axis=tax)
         valid = ~(jnp.isnan(fut.data).any(axis=tax) | jnp.isnan(ref.data).any(axis=tax))
-        if test is None:
-            changed = jnp.ones_like(deltas, dtype=bool)
-            pvals = None
-        elif test == "threshold":
-            if "abs_thresh" in kwargs:
-                changed = jnp.abs(deltas) > kwargs["abs_thresh"]
-            elif "rel_thresh" in kwargs:
-                rel = deltas / jnp.nanmean(ref.data, axis=tax)
-                changed = jnp.abs(rel) > kwargs["rel_thresh"]
-            else:
-                raise ValueError("threshold test needs abs_thresh or rel_thresh")
-            pvals = None
-        else:
-            fn = SIGNIFICANCE_TESTS[test]
-            changed, pvals = fn(fut.data, ref.data, tax, **kwargs)
+        ref_mean = jnp.nanmean(ref.data, axis=tax)
         out_dims = tuple(d for d in fut.dims if d not in ("realization", "time"))
         rax = [d for d in fut.dims if d != "time"].index("realization")
+    if test is None:
+        changed = jnp.ones_like(deltas, dtype=bool)
+        pvals = None
+    elif test == "threshold":
+        if "abs_thresh" in kwargs:
+            changed = jnp.abs(deltas) > kwargs["abs_thresh"]
+        elif "rel_thresh" in kwargs:
+            if ref_mean is None:
+                raise ValueError("rel_thresh requires a reference.")
+            changed = jnp.abs(deltas / ref_mean) > kwargs["rel_thresh"]
+        else:
+            raise ValueError("threshold test needs abs_thresh or rel_thresh")
+        pvals = None
+    else:
+        if ref is None:
+            raise ValueError(f"test {test!r} requires a reference.")
+        fn = SIGNIFICANCE_TESTS[test]
+        changed, pvals = fn(fut.data, ref.data, tax, **kwargs)
 
     w = jnp.ones(deltas.shape[rax], dtype=jnp.float32) if weights is None \
         else jnp.asarray(np.asarray(weights, dtype=np.float32))
@@ -259,36 +264,43 @@ def robustness_categories(changed_or_fractions, agree=None,
     return res
 
 
-def robustness_coefficient(fut: ClimArray, ref: ClimArray) -> ClimArray:
-    """Knutti & Sedláček (2013) robustness coefficient R = 1 - A1/A2
-    (xclim:ensembles/_robustness.py:430).
+def _diff_cdf_sq_area_int(a, b):
+    """Exact ∫ (CDF_a − CDF_b)² dx of two empirical CDFs — the reference's
+    piecewise integral (xclim:ensembles/_robustness.py:464-482), expressed
+    with dense comparisons instead of searchsorted inserts (TPU-friendly)."""
+    xs = jnp.sort(jnp.concatenate([a, b]))
+    y1 = (a[None, :] <= xs[:, None]).mean(axis=1)
+    y2 = (b[None, :] <= xs[:, None]).mean(axis=1)
+    return jnp.sum(jnp.diff(xs) * (y1 - y2)[:-1] ** 2)
 
-    A1 integrates (pooled-ensemble CDF − ref CDF)²; A2 the mean of
-    (member CDF − pooled CDF)², over 50 value bins.
+
+def robustness_coefficient(fut: ClimArray, ref: ClimArray) -> ClimArray:
+    """Knutti & Sedláček (2013) robustness coefficient R = 1 − A1/A2
+    (xclim:ensembles/_robustness.py:430-506).
+
+    A1 integrates the squared difference between the pooled-ensemble CDF
+    and the CDF of the ensemble-mean series; A2 the same between the
+    reference CDF and the ensemble-mean CDF.
     """
     rest = tuple(d for d in fut.dims if d not in ("realization", "time"))
     f = fut.transpose("realization", "time", *rest).data  # (R, T, ...)
-    r = ref.transpose("time", *[d for d in rest if d in ref.dims]).data  # (Tr, ...)
+    r = ref.transpose("time", *[d for d in rest if d in ref.dims]).data
     R_, T = f.shape[0], f.shape[1]
-    bins = 50
-    lo = jnp.minimum(jnp.nanmin(f), jnp.nanmin(r))
-    hi = jnp.maximum(jnp.nanmax(f), jnp.nanmax(r))
-    edges = jnp.linspace(lo, hi, bins)  # (bins,)
-    eshape = (bins,) + (1,) * (f.ndim - 1)
+    fc = f.reshape(R_, T, -1)
+    rc = jnp.broadcast_to(r.reshape((r.shape[0], -1)),
+                          (r.shape[0], fc.shape[-1]))
 
-    def cdf(x, axis):
-        xs = jnp.where(jnp.isnan(x), jnp.inf, x)
-        n = jnp.sum(~jnp.isnan(x), axis=axis)
-        e = edges.reshape((bins,) + (1,) * x.ndim)
-        cnt = (xs[None] <= e).sum(axis=axis + 1).astype(jnp.float32)
-        return cnt / jnp.maximum(n, 1)[None]
+    def one(fcell, rcell):
+        pooled = fcell.reshape(-1)           # (R*T,)
+        # "multimodel mean": each member's TIME mean — one value per
+        # realization (xclim:_robustness.py:485, future.mean(axis=-1))
+        favg = fcell.mean(axis=1)            # (R,)
+        a1 = _diff_cdf_sq_area_int(pooled, favg)
+        a2 = _diff_cdf_sq_area_int(rcell, favg)
+        return 1.0 - a1 / jnp.where(a2 == 0, jnp.nan, a2)
 
-    cdf_ref = cdf(r, 0)  # (bins, ...)
-    cdf_pool = cdf(f.reshape((R_ * T,) + f.shape[2:]), 0)  # (bins, ...)
-    cdf_mem = cdf(f, 1)  # (bins, R, ...)
-    A1 = ((cdf_pool - cdf_ref) ** 2).sum(axis=0)
-    A2 = ((cdf_mem - cdf_pool[:, None]) ** 2).sum(axis=0).mean(axis=0)
-    Rcoef = 1 - A1 / jnp.where(A2 == 0, jnp.nan, A2)
+    Rcoef = jax.vmap(one, in_axes=(-1, -1))(fc, rc)
+    Rcoef = Rcoef.reshape(f.shape[2:]) if rest else Rcoef[0]
     coords = {c: v for c, v in fut.coords.items() if c in rest}
     return ClimArray(Rcoef, rest, coords, {"units": "", "long_name":
                                            "Ensemble robustness coefficient"}, "R")
