@@ -36,10 +36,13 @@ def _pairwise_dists(x, y):
 
 
 def seuclidean(x, y):
-    """Standardized-Euclidean distance between sample means (xclim:analog.py:182)."""
+    """Standardized-Euclidean distance between sample means, scaled by the
+    REFERENCE sample's ddof=1 variance (xclim:analog.py:182,
+    ``spatial.distance.seuclidean(mx, my, x.var(axis=0, ddof=1))``)."""
     mx = jnp.nanmean(x, axis=0)
     my = jnp.nanmean(y, axis=0)
-    v = (jnp.nanvar(x, axis=0) + jnp.nanvar(y, axis=0)) / 2
+    n = jnp.sum(~jnp.isnan(x), axis=0)
+    v = jnp.nanvar(x, axis=0) * n / jnp.maximum(n - 1, 1)
     return jnp.sqrt((((mx - my) ** 2) / jnp.where(v == 0, 1, v)).sum())
 
 
@@ -55,17 +58,30 @@ def nearest_neighbor(x, y):
     return jnp.mean(same.astype(jnp.float32))
 
 
-def zech_aslan(x, y):
-    """Zech-Aslan energy statistic (xclim:analog.py:255)."""
+def _sed_scale(x, y):
+    """Per-dimension 1/sqrt(σx·σy) scaling of the standardized Euclidean
+    distance used by zech_aslan / szekely_rizzo (xclim:analog.py:277,346;
+    V = x.std(ddof=1) * y.std(ddof=1))."""
+    nx = jnp.sum(~jnp.isnan(x), axis=0)
+    ny = jnp.sum(~jnp.isnan(y), axis=0)
+    sx = jnp.sqrt(jnp.nanvar(x, axis=0) * nx / jnp.maximum(nx - 1, 1))
+    sy = jnp.sqrt(jnp.nanvar(y, axis=0) * ny / jnp.maximum(ny - 1, 1))
+    v = sx * sy
+    return 1.0 / jnp.sqrt(jnp.where(v == 0, 1.0, v))
+
+
+def zech_aslan(x, y, dmin: float = 1e-12):
+    """Zech-Aslan energy statistic on the standardized Euclidean distance
+    with the log weight function (xclim:analog.py:255-321)."""
     nx, ny = x.shape[0], y.shape[0]
-    d = x.shape[1]
-    dxx = _pairwise_dists(x, x)
-    dyy = _pairwise_dists(y, y)
-    dxy = _pairwise_dists(x, y)
-    eps = 1e-10
+    s = _sed_scale(x, y)
+    xs, ys = x * s, y * s
+    dxx = _pairwise_dists(xs, xs)
+    dyy = _pairwise_dists(ys, ys)
+    dxy = _pairwise_dists(xs, ys)
 
     def phi(dist):
-        return -jnp.log(jnp.maximum(dist, eps))
+        return -jnp.log(jnp.maximum(dist, dmin))
 
     iu = jnp.triu_indices(nx, k=1)
     phi_xx = phi(dxx[iu]).sum() / (nx * (nx - 1))
@@ -75,9 +91,16 @@ def zech_aslan(x, y):
     return phi_xx + phi_yy - phi_xy
 
 
-def szekely_rizzo(x, y):
-    """Székely-Rizzo energy distance (xclim:analog.py:323)."""
+def szekely_rizzo(x, y, standardize: bool = True):
+    """Székely-Rizzo energy distance (xclim:analog.py:323-388).
+
+    ``standardize=True`` (the reference default) measures distances in the
+    standardized Euclidean metric with V = σx·σy; ``False`` reproduces the
+    R ``energy::edist`` two-sample statistic."""
     nx, ny = x.shape[0], y.shape[0]
+    if standardize:
+        s = _sed_scale(x, y)
+        x, y = x * s, y * s
     dxy = _pairwise_dists(x, y).mean()
     dxx = _pairwise_dists(x, x).mean()
     dyy = _pairwise_dists(y, y).mean()
@@ -96,16 +119,29 @@ def mahalanobis(x, y):
 
 
 def kolmogorov_smirnov(x, y):
-    """Max over variables of the 1-D two-sample KS statistic
-    (xclim:analog.py:434)."""
-    def ks_1d(a, b):
-        allv = jnp.sort(jnp.concatenate([a, b]))
-        fa = (a[None, :] <= allv[:, None]).mean(axis=1)
-        fb = (b[None, :] <= allv[:, None]).mean(axis=1)
-        return jnp.max(jnp.abs(fa - fb))
+    """Fasano-Franceschini multivariate KS statistic (xclim:analog.py:434):
+    quadrant-count differences over 2^d orthants around each pivot point,
+    maximized over both pivot samples."""
+    d = x.shape[1]
+    mf = 2 ** jnp.arange(d)
+    M = 2 ** d
 
-    stats = jax.vmap(ks_1d, in_axes=(1, 1))(x, y)
-    return jnp.max(stats)
+    def pivot(a, b):
+        na, nb = a.shape[0], b.shape[0]
+
+        def codes(p):
+            # code[i, j] = orthant of a[j] relative to pivot p[i]
+            c = a.T[None, :, :] <= p[:, :, None]  # (np, d, na)
+            return (c * mf[None, :, None]).sum(axis=1)  # (np, na)
+
+        ix = codes(a)  # (na, na)
+        iy = codes(b)  # (nb, na)
+        q = jnp.arange(M)[None, :, None]
+        cx = (ix[:, None, :] == q).mean(axis=0)  # (M, na)
+        cy = (iy[:, None, :] == q).mean(axis=0)
+        return jnp.max(jnp.abs(cx - cy))
+
+    return jnp.maximum(pivot(x, y), pivot(y, x))
 
 
 def kldiv(x, y, k: int = 1):
@@ -134,8 +170,9 @@ def _friedman_rafsky_host(x, y):
     rows, cols = mst.nonzero()
     cross = (labels[rows] != labels[cols]).sum()
     n = len(pooled)
-    # normalized count of same-label edges (higher = more dissimilar)
-    return 1.0 - cross / (n - 1)
+    # the reference's runs statistic: 1 − (1 + #cross-sample edges)/n
+    # (xclim:analog.py:421), range [0, (n−1)/n]
+    return 1.0 - (1.0 + cross) / n
 
 
 metrics = {

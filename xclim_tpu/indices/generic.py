@@ -254,59 +254,90 @@ def spell_mask(data, window: int, win_reducer: str, op: str, thresh, min_gap: in
     `win_reducer` statistic satisfies ``op thresh``.
     """
     if not isinstance(data, ClimArray):
-        # multivariate: all/any conditions must hold together
+        # multivariate: the per-step/per-window conditions combine BEFORE
+        # the run logic (the reference reduces the 'variable' dim on the
+        # window-level mask, xclim generic.py:480-517) — intersecting the
+        # EXPANDED spell masks would wrongly accept overlapping-but-
+        # different windows
         if np.isscalar(thresh) or isinstance(thresh, ClimArray) or len(data) != len(thresh):
-            raise ValueError("With a sequence of arrays, thresh must be a same-length sequence.")
-        masks = [spell_mask(d, window, win_reducer, op, t) for d, t in zip(data, thresh)]
-        out = masks[0]
-        for m in masks[1:]:
-            out = (out & m) if var_reducer == "all" else (out | m)
-        return out
-    if weights is not None and win_reducer != "mean":
-        raise ValueError("weights only supported with win_reducer='mean'")
+            raise ValueError("threshold must be a sequence of the same length as data.")
+        first = data[0]
+        conds = [_spell_window_condition(d, window, win_reducer, op, t,
+                                         weights)
+                 for d, t in zip(data, thresh)]
+        comb = conds[0]
+        for c in conds[1:]:
+            comb = (comb & c) if var_reducer == "all" else (comb | c)
+        return _expand_spell_condition(comb, first, window, win_reducer, op,
+                                       min_gap)
+    cond = _spell_window_condition(data, window, win_reducer, op, thresh,
+                                   weights)
+    return _expand_spell_condition(cond, data, window, win_reducer, op,
+                                   min_gap)
 
+
+def _spell_fastpath(window, win_reducer, op) -> bool:
+    return window > 1 and (
+        (win_reducer == "min" and op in (">", ">=", "ge", "gt"))
+        or (win_reducer == "max" and op in ("<", "<=", "le", "lt")))
+
+
+def _spell_window_condition(data, window, win_reducer, op, thresh, weights):
+    """The per-step (window==1/fast path) or per-window-end (general path)
+    boolean condition for one variable, before run expansion."""
+    if weights is not None:
+        if win_reducer != "mean":
+            raise ValueError("Argument 'weights' is only supported if "
+                             "'win_reducer' is 'mean'. Got: " + win_reducer)
+        if len(weights) != window:
+            raise ValueError(
+                f"Weights have a different length ({len(weights)}) than "
+                f"the window ({window}).")
     ax = data.time_axis
-    if window == 1:
-        return compare(data, op, thresh)
+    if window == 1 or _spell_fastpath(window, win_reducer, op):
+        return compare(data, op, thresh).data.astype(bool)
+    if weights is not None:
+        w = jnp.asarray(np.asarray(weights, dtype=np.float32))
+        xm = jnp.moveaxis(data.data, ax, -1)
+        T = xm.shape[-1]
+        pads = [(0, 0)] * (xm.ndim - 1) + [(window - 1, 0)]
+        xp = jnp.pad(xm, pads, constant_values=jnp.nan)
+        idx = jnp.arange(T)[:, None] + jnp.arange(window)[None, :]
+        sv = (xp[..., idx] * w).sum(-1)
+        spell_value = jnp.moveaxis(sv, -1, ax)
+    else:
+        spell_value = rolling_reduce(data.data, window, win_reducer, axis=ax)
+    sv_ca = ClimArray(spell_value, data.dims, dict(data.coords), {},
+                      data.name)
+    mb = compare(sv_ca, op, thresh).data.astype(bool)
+    return jnp.where(jnp.isnan(spell_value), False, mb)
 
-    if (win_reducer == "min" and op in (">", ">=", "ge", "gt")) or (
-            win_reducer == "max" and op in ("<", "<=", "le", "lt")):
-        # fast path: a day can only be in a spell if it satisfies the condition
+
+def _expand_spell_condition(cond, template, window, win_reducer, op,
+                            min_gap: int = 1):
+    """Turn the (possibly variable-combined) window condition into the
+    is-in-spell step mask."""
+    ax = template.time_axis
+    if window == 1:
+        out = template.copy(data=cond)
+        out.attrs = {}
+    elif _spell_fastpath(window, win_reducer, op):
+        # a day can only be in a spell if it satisfies the condition
         # itself; keep days of runs >= window (xclim generic.py:501-517)
-        mask = compare(data, op, thresh)
         from xclim_tpu.ops.runlength import cumsum_reset as _csr
 
-        run_len_first = _csr(mask.data, axis=ax, index="first")
-        run_len_last = _csr(mask.data, axis=ax, index="last")
-        total = run_len_first + run_len_last - 1  # total run length at each in-run step
-        is_in = mask.data & (total >= window)
-        out = data.copy(data=is_in)
+        run_len_first = _csr(cond, axis=ax, index="first")
+        run_len_last = _csr(cond, axis=ax, index="last")
+        total = run_len_first + run_len_last - 1
+        out = template.copy(data=cond & (total >= window))
         out.attrs = {}
     else:
-        # general: rolling win_reducer over window, compare, then a day is in a
-        # spell if any window containing it satisfied the condition
-        if weights is not None:
-            w = jnp.asarray(np.asarray(weights, dtype=np.float32))
-            xm = jnp.moveaxis(data.data, ax, -1)
-            T = xm.shape[-1]
-            pads = [(0, 0)] * (xm.ndim - 1) + [(window - 1, 0)]
-            xp = jnp.pad(xm, pads, constant_values=jnp.nan)
-            idx = jnp.arange(T)[:, None] + jnp.arange(window)[None, :]
-            sv = (xp[..., idx] * w).sum(-1)
-            spell_value = jnp.moveaxis(sv, -1, ax)
-        else:
-            spell_value = rolling_reduce(data.data, window, win_reducer, axis=ax)
-        sv_ca = ClimArray(spell_value, data.dims, dict(data.coords), {}, data.name)
-        mb = compare(sv_ca, op, thresh).data.astype(bool)
-        mb = jnp.where(jnp.isnan(spell_value), False, mb)
-        # windows end at t; day d is in spell if any end in [d, d+window-1] hits
-        rev = jnp.flip(mb, ax)
-        anyfwd = rolling_reduce(rev.astype(jnp.float32), window, "sum", axis=ax,
-                                min_periods=1) >= 1
-        is_in = jnp.flip(anyfwd, ax)
-        out = data.copy(data=is_in)
+        # windows end at t; day d is in spell if any end in [d, d+window-1]
+        rev = jnp.flip(cond, ax)
+        anyfwd = rolling_reduce(rev.astype(jnp.float32), window, "sum",
+                                axis=ax, min_periods=1) >= 1
+        out = template.copy(data=jnp.flip(anyfwd, ax))
         out.attrs = {}
-
     if min_gap > 1:
         merged = rl.runs_with_holes(out, 1, ~out, min_gap)
         out = out.copy(data=merged.data.astype(bool))
