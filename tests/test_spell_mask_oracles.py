@@ -94,3 +94,61 @@ def test_bivariate_spell_length_statistics_multi(tasmin_series,
     np.testing.assert_allclose(np.asarray(outs.data),
                                np.asarray(outm.data))
     np.testing.assert_allclose(np.asarray(outc.data), 1)
+
+
+class TestCumulativeDifference:
+    """xclim:tests/test_generic.py:316."""
+
+    @pytest.mark.parametrize(
+        "op, expected",
+        [("gt", [0, 5, 10, 0, 0]), (">=", [0, 5, 10, 0, 0]),
+         ("<", [20, 0, 0, 7, 0])])
+    def test_simple(self, tas_series, op, expected):
+        tas = tas_series(np.array([-10, 15, 20, 3, 10]) + K2C)
+        out = generic.cumulative_difference(tas, threshold="10 degC", op=op)
+        out_k = generic.cumulative_difference(tas, threshold="283.15 degK",
+                                              op=op)
+        np.testing.assert_allclose(np.asarray(out.data), expected)
+        np.testing.assert_allclose(np.asarray(out.data),
+                                   np.asarray(out_k.data))
+
+    def test_forbidden(self, tas_series):
+        tas = tas_series(np.array([-10, 15, 20, 3, 10]) + K2C)
+        with pytest.raises((NotImplementedError, ValueError)):
+            generic.cumulative_difference(tas, threshold="10 degC", op="!=")
+
+
+class TestFirstDayThreshold:
+    """xclim:tests/test_generic.py:343."""
+
+    @pytest.mark.parametrize("op, expected",
+                             [(">", 6), (">=", 5), ("==", 5), ("!=", 1)])
+    def test_generic_precip_above(self, pr_series, op, expected):
+        a = np.zeros(365)
+        a[:8] = np.arange(8) / 1000
+        pr = pr_series(a, start="2000-01-01")
+        fda = generic.first_day_threshold_reached(
+            pr, threshold="0.004 kg m-2 s-1", op=op, after_date="01-01",
+            window=1, freq="YS")
+        assert float(np.asarray(fda.data)[0]) == expected
+
+    @pytest.mark.parametrize("op, expected",
+                             [("lt", 5), ("le", 4), ("eq", 4), ("ne", 1)])
+    def test_generic_precip_below(self, pr_series, op, expected):
+        a = np.zeros(365)
+        a[:8] = np.flip(np.arange(8) / 1000)
+        pr = pr_series(a, start="2000-01-01")
+        fdb = generic.first_day_threshold_reached(
+            pr, threshold="0.004 kg m-2 s-1", op=op, after_date="01-01",
+            window=1, freq="YS")
+        assert float(np.asarray(fdb.data)[0]) == expected
+
+    def test_generic_forbidden_op(self, pr_series):
+        a = np.zeros(365)
+        a[:8] = np.flip(np.arange(8) / 1000)
+        pr = pr_series(a, start="2000-01-01")
+        with pytest.raises(ValueError):
+            generic.first_day_threshold_reached(
+                pr, threshold="0.004 kg m-2 s-1", op=">",
+                after_date="01-01", window=1, freq="YS",
+                constrain=("<", "<="))

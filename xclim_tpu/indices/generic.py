@@ -655,9 +655,11 @@ def cumulative_difference(data: ClimArray, threshold, op: str,
                           freq: str | None = None) -> ClimArray:
     """Degree-day style cumulative difference (xclim generic.py:1515)."""
     thresh = _thresh(threshold, data)
-    if op in ("<", "lt"):
+    # the reference's DIFFERENCE_OPERATORS accept the -or-equal variants
+    # too (identical arithmetic: the boundary contributes zero)
+    if op in ("<", "lt", "<=", "le"):
         diff = (thresh - data).clip(0)
-    elif op in (">", "gt"):
+    elif op in (">", "gt", ">=", "ge"):
         diff = (data - thresh).clip(0)
     else:
         raise ValueError(f"Operation `{op}` not supported.")
