@@ -152,7 +152,7 @@ class TestFFDI:
     def test_griffiths_df(self):
         n = 60
         pr = _s(np.zeros(n), "pr", "mm/d")
-        smd = _s(np.full(n, 120.0), "smd", "mm")
+        smd = _s(np.full(n, 120.0), "smd", "mm/d")
         df = griffiths_drought_factor(pr, smd)
         v = np.asarray(df.values)
         assert np.isnan(v[:19]).all()
@@ -163,7 +163,7 @@ class TestFFDI:
         vals = np.zeros(n)
         vals[40] = 50.0  # big rain event
         pr = _s(vals, "pr", "mm/d")
-        smd = _s(np.full(n, 120.0), "smd", "mm")
+        smd = _s(np.full(n, 120.0), "smd", "mm/d")
         df = np.asarray(griffiths_drought_factor(pr, smd).values)
         assert df[41] < df[39]
 
@@ -176,3 +176,92 @@ class TestFFDI:
         w = _s(np.full(n, 30.0), "sfcWind", "km/h")
         out = np.asarray(mcarthur_forest_fire_danger_index(df, tx, h, w).values)
         assert (out > 50).all()  # catastrophic conditions
+
+
+class TestFFDIOracles:
+    """Hand-calculated expected values from xclim:tests/test_ffdi.py:15-131."""
+
+    @pytest.mark.parametrize(
+        "p,t,pa,k0,exp",
+        [
+            (10 * [100], 10 * [0], 1.0, 0.0, 0.0),
+            (10 * [0], 10 * [100], 1.0, 0.0, 203.2),
+            ([10, 0, 0.1, 6, 0, 0, 0.5, 0.3, 0, 1], 10 * [30], 1.0, 0.0,
+             7.25278),
+            (10 * [0], [20, 30, 20, 30, 30, 25, 40, 35, 20, 20], 1.0, 0.0,
+             8.46632),
+            ([10, 0, 0.1, 6, 0, 0, 0.5, 0.3, 0, 1],
+             [20, 30, 20, 30, 30, 25, 40, 35, 20, 20], 1.0, 0.0, 7.10174),
+            ([10, 0, 0.1, 6, 0, 0, 0.5, 0.3, 0, 1],
+             [20, 30, 20, 30, 30, 25, 40, 35, 20, 20], 1.0, 10.0, 12.18341),
+            ([10, 0, 0.1, 6, 0, 0, 0.5, 0.3, 0, 1],
+             [20, 30, 20, 30, 30, 25, 40, 35, 20, 20], 100.0, 0.0, 8.45569),
+            ([10, 0, 0.1, 6, 0, 0, 0.5, 0.3, 0, 1],
+             [20, 30, 20, 30, 30, 25, 40, 35, 20, 20], 1.0, 203.2,
+             197.33375),
+        ])
+    def test_keetch_byram_drought_index(self, p, t, pa, k0, exp, pr_series,
+                                        tasmax_series):
+        from xclim_tpu.core.dataarray import ClimArray
+        from xclim_tpu.indices import keetch_byram_drought_index
+
+        pr = pr_series(np.asarray(p, dtype=float), units="mm/day")
+        tasmax = tasmax_series(np.asarray(t, dtype=float), units="degC")
+        pr_annual = ClimArray(np.asarray(pa), (),
+                              attrs={"units": "mm/year"}, name="pa")
+        kbdi0 = ClimArray(np.asarray(k0), (),
+                          attrs={"units": "mm/day"}, name="k0")
+        out = keetch_byram_drought_index(pr, tasmax, pr_annual, kbdi0)
+        final = np.ravel(np.asarray(out.values))[-1]
+        np.testing.assert_allclose(final, exp, atol=2e-5)
+
+    @pytest.mark.parametrize(
+        "p, s, exp, test_discrete",
+        [
+            (17 * [0] + [5, 10, 20], 20 * [10], 0.40471, False),
+            ([20, 10, 5] + 17 * [0], 20 * [10], 6.13148, True),
+            ([0, 30, 5, 0, 0, 5, 10, 0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 1, 3, 1],
+             20 * [30], 6.82454, True),
+            ([0, 10, 5, 0, 0, 5, 10, 0, 0, 20, 0, 0, 0, 20, 0, 0, 0, 5, 4, 3],
+             20 * [30], 6.59186, False),
+            ([0, 10, 5, 0, 0, 50, 100, 0, 0, 20, 0, 0, 0, 0, 0, 0, 0, 1, 3, 1],
+             20 * [10], 3.91578, False),
+            ([0, 300, 5, 0, 0, 50, 100, 0, 0, 20, 0, 0, 0, 0, 0, 0, 0, 1, 3, 1],
+             20 * [30], 3.76635, False),
+        ])
+    def test_griffiths_drought_factor(self, p, s, exp, test_discrete,
+                                      pr_series):
+        pr = pr_series(np.asarray(p, dtype=float), units="mm/day")
+        smd = pr_series(np.asarray(s, dtype=float), units="mm/day")
+        df = np.ravel(np.asarray(
+            griffiths_drought_factor(pr, smd, "xlim").values))[-1]
+        np.testing.assert_allclose(df, exp, atol=2e-5)
+        if test_discrete:
+            dfd = np.ravel(np.asarray(
+                griffiths_drought_factor(pr, smd, "discrete").values))[-1]
+            np.testing.assert_allclose(dfd, round(exp), atol=2e-5)
+
+    def test_griffiths_sliding(self, pr_series):
+        p = np.zeros(24)
+        p[19] = 20.0
+        pr = pr_series(p, units="mm/day")
+        smd = pr_series(20 * np.ones(24), units="mm/day")
+        exp = np.array([1.07024, 3.14744, 4.71645, 5.64112, 6.14665])
+        df = np.asarray(griffiths_drought_factor(pr, smd, "xlim").values)
+        np.testing.assert_allclose(df[19:], exp, atol=2e-5)
+
+    def test_mcarthur_ffdi(self, pr_series, tasmax_series, hurs_series,
+                           sfcWind_series):
+        from xclim_tpu.indices import mcarthur_forest_fire_danger_index
+
+        D = pr_series(np.arange(1.0, 11.0), units="")
+        T = tasmax_series(np.arange(30.0, 40.0), units="degC")
+        H = hurs_series(np.arange(10.0, 20.0))
+        # the reference fixture overrides sfcWind units to km/h
+        V = sfcWind_series(np.arange(10.0, 20.0), units="km h-1")
+        exp = 2.0 * np.exp(-0.450 + 0.987 * np.log(np.arange(1.0, 11.0))
+                           - 0.0345 * np.arange(10.0, 20.0)
+                           + 0.0338 * np.arange(30.0, 40.0)
+                           + 0.0234 * np.arange(10.0, 20.0))
+        ffdi = mcarthur_forest_fire_danger_index(D, T, H, V)
+        np.testing.assert_allclose(np.asarray(ffdi.values), exp, rtol=1e-5)

@@ -123,12 +123,15 @@ def keetch_byram_drought_index(pr: ClimArray, tasmax: ClimArray, pr_annual,
     return res
 
 
-@declare_units(pr="[precipitation]", smd="[length]")
+@declare_units(pr="[precipitation]", smd="[precipitation]")
 def griffiths_drought_factor(pr: ClimArray, smd: ClimArray,
                              limiting_func: str = "xlim") -> ClimArray:
-    """Griffiths drought factor (xclim:_ffdi.py:273)."""
+    """Griffiths drought factor (xclim:_ffdi.py:273).
+
+    `smd` is the soil-moisture deficit (e.g. KBDI), declared as
+    [precipitation] like the reference (its KBDI convention is mm/day)."""
     p = convert_units_to(pr, "mm/d", context="hydro")
-    s = convert_units_to(smd, "mm")
+    s = convert_units_to(smd, "mm/d", context="hydro")
     lim = {"xlim": 0, "discrete": 1}[limiting_func]
     ax = p.time_axis
     out = _griffiths_df(jnp.moveaxis(p.data, ax, 0),
