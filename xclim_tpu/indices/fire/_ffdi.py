@@ -118,7 +118,9 @@ def keetch_byram_drought_index(pr: ClimArray, tasmax: ClimArray, pr_annual,
         jnp.asarray(getattr(kbdi0, "data", kbdi0))
     out = _kbdi_scan(pd_, td, pa, k0)
     res = p.copy(data=jnp.moveaxis(out, 0, ax))
-    res.attrs = {"units": "mm"}
+    # the reference's KBDI convention is mm/day (xclim:_ffdi.py:265), so the
+    # KBDI -> griffiths smd chain composes without unit friction
+    res.attrs = {"units": "mm/day"}
     res.name = "kbdi"
     return res
 
