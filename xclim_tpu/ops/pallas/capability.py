@@ -23,7 +23,7 @@ from __future__ import annotations
 import os
 
 __all__ = ["pallas_mode", "set_pallas_mode", "mosaic_supported",
-           "dispatch_counts"]
+           "winquantile_supported", "dispatch_counts"]
 
 _MODE: str | None = None
 
@@ -88,6 +88,52 @@ def _probe_mosaic() -> bool:
         return False
 
 
+_WQ_OK: bool | None = None
+
+
+def _probe_winquantile() -> bool:
+    """Compile + run the windowed-quantile kernel at a tiny shape (its own
+    probe: the spell kernel compiling does not imply this one does — the
+    remote Mosaic helper accepts/rejects per-program)."""
+    marker = _probe_cache_path()
+    marker = marker + "_wq" if marker else None
+    if marker and os.path.exists(marker):
+        return True
+    try:
+        import numpy as np
+
+        from xclim_tpu.ops.pallas.winquantile import (
+            doy_window_quantiles, doy_window_quantiles_xla)
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(0, 1, (20, 4, 8)).astype(np.float32)
+        x[1, 2, 3] = np.nan
+        q = np.array([0.1, 0.9], np.float32)
+        a = np.asarray(doy_window_quantiles(x, q, 5, db=8))
+        b = np.asarray(doy_window_quantiles_xla(x, q, 5))
+        ok = bool(np.allclose(a, b, rtol=1e-5, atol=1e-5, equal_nan=True))
+        if ok and marker:
+            with open(marker, "w") as f:
+                f.write("ok\n")
+        return ok
+    except Exception:
+        return False
+
+
+def winquantile_supported() -> bool:
+    """Whether the Pallas windowed-quantile kernel serves this process."""
+    global _WQ_OK
+    if _WQ_OK is None:
+        mode = pallas_mode()
+        if mode == "off":
+            _WQ_OK = False
+        elif mode == "interpret":
+            _WQ_OK = False  # interpret is for kernel tests, too slow to serve
+        else:
+            _WQ_OK = _probe_winquantile()
+    return _WQ_OK
+
+
 def pallas_mode() -> str:
     """Resolve (and cache) the Pallas dispatch mode for this process."""
     global _MODE
@@ -107,10 +153,11 @@ def pallas_mode() -> str:
 
 def set_pallas_mode(mode: str | None) -> None:
     """Override the dispatch mode (``None`` re-enables probing)."""
-    global _MODE
+    global _MODE, _WQ_OK
     if mode is not None and mode not in ("off", "mosaic", "interpret"):
         raise ValueError(f"unknown pallas mode {mode!r}")
     _MODE = mode
+    _WQ_OK = None
 
 
 def mosaic_supported() -> bool:

@@ -1,0 +1,308 @@
+"""Windowed day-of-year group quantiles — the sdba training kernel.
+
+The quantile-mapping trainers (EQM/DQM/QDM, reference: the external xsdba
+package re-exported as xclim.sdba — xclim:src/xclim/sdba.py:1-28) need, for
+every day-of-year group g, the quantiles of ALL samples whose doy falls in a
+±half window around g (window=31 in the north-star config). The windowed
+gather holds each time step ``window`` times, so sorting the gathered
+(n_doy, window*years, C) tensor — the round-2 implementation — re-sorts every
+sample 31 times (~155 ms per sort on-chip for 30 y x 1024 cells; the whole
+train+adjust was 0.62x the baseline bar).
+
+This kernel never sorts the windowed gather. Each doy slice (years-many
+values) is bitonic-sorted ONCE in VMEM; a group's 31x32 window of pre-sorted
+runs is then merged with only the tail phases of the bitonic network
+(sorted-32 runs -> sorted-1024 needs 40 of the 55 compare stages), and the
+exact Hyndman-Fan order statistics are extracted with a one-hot contraction
+restricted to a narrow rank window (full-width fallback when missing-value
+counts spread the per-lane ranks). Everything between the one HBM read of
+the slices and the (n_doy, nq, C) quantile write stays in VMEM.
+
+NaNs are mapped to a large finite sentinel host-side (they sort to the end
+and are excluded from valid counts); ``jnp.isnan`` is never used in-kernel —
+the axon backend's Mosaic AOT compiler cannot lower it (see
+ops/pallas/spells.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["doy_window_quantiles", "doy_window_quantiles_xla"]
+
+#: finite NaN sentinel: sorts after every real value, and ``x * 0 == 0``
+#: still holds (jnp.inf would poison the selection contraction with NaNs).
+BIG = 3.0e38
+
+_LANES = int(__import__("os").environ.get("XCLIM_TPU_WQ_LANES", "128"))
+_WSEL = 64  # rank-window width of the fast selection path
+
+
+def _pow2(n: int) -> int:
+    return 1 << (int(n) - 1).bit_length()
+
+
+def _roll(x, shift, axis):
+    """pltpu.roll, indirected so pure-jnp tests can patch in jnp.roll."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.roll(x, shift, axis)
+
+
+def _ce(x, k, asc, axis):
+    """Bitonic compare-exchange (i <-> i^k) along ``axis`` of x.
+
+    asc: bool array of x's shape, True where index i's 2p-block sorts
+    ascending. Uses a tile-preserving reshape for k >= 8 and circular rolls
+    (the partner i^k never actually wraps for power-of-two lengths) below.
+    """
+    n = x.shape[axis]
+    if k >= 8:
+        shp = x.shape[:axis] + (n // (2 * k), 2, k) + x.shape[axis + 1:]
+        xr = x.reshape(shp)
+        a = jax.lax.index_in_dim(xr, 0, axis + 1, keepdims=False)
+        b = jax.lax.index_in_dim(xr, 1, axis + 1, keepdims=False)
+        ar = jax.lax.index_in_dim(asc.reshape(shp), 0, axis + 1,
+                                  keepdims=False)
+        lo = jnp.minimum(a, b)
+        hi = jnp.maximum(a, b)
+        out = jnp.stack([jnp.where(ar, lo, hi), jnp.where(ar, hi, lo)],
+                        axis=axis + 1)
+        return out.reshape(x.shape)
+    down = _roll(x, n - k, axis)  # value at i becomes x[i + k]
+    up = _roll(x, k, axis)        # value at i becomes x[i - k]
+    ii = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    low_of_pair = (ii & k) == 0
+    partner = jnp.where(low_of_pair, down, up)
+    want_small = low_of_pair == asc
+    return jnp.where(want_small,
+                     jnp.minimum(x, partner), jnp.maximum(x, partner))
+
+
+def _bitonic_phases(x, p_start, p_end, axis=0, flip=None):
+    """Bitonic phases p = p_start..p_end (inclusive, powers of 2) along
+    ``axis``. After phase p, runs of 2p are sorted, direction alternating by
+    bit 2p of the index (the final phase of a full array sorts ascending).
+    ``flip``: optional bool of x's shape flipping every direction (used to
+    presort alternate slices descending)."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    p = p_start
+    while p <= p_end:
+        asc = (ii & (2 * p)) == 0
+        if flip is not None:
+            asc = asc != flip
+        k = p
+        while k >= 1:
+            x = _ce(x, k, asc, axis)
+            k //= 2
+        p *= 2
+    return x
+
+
+def _kernel(x_hbm, out_ref, slab, cnt_ref, arr_ref, sem, *, S, DB, W, Ypad,
+            P2, nq, BC, qvals, coffs, alpha, beta):
+    """x_hbm: (ngDB+2h, Ypad, C) in HBM; out block (DB, nq, BC).
+
+    slab: VMEM scratch (S=DB+W-1, Ypad, BC); cnt_ref (S, BC) per-slice valid
+    counts; arr_ref (P2, BC) the merged sorted window (scratch refs exist so
+    dynamic-start slices go through Ref indexing — Mosaic does not lower
+    ``lax.dynamic_slice`` on values). qvals/coffs: static python tuples —
+    per-node quantile and the f32-rounded Hyndman-Fan offset q*(1-a-b)+a.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ci = pl.program_id(0)
+    gi = pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(gi * DB, S), :, pl.ds(ci * BC, BC)], slab, sem)
+    cp.start()
+    cp.wait()
+
+    # valid counts per slice, then presort each slice along Ypad —
+    # ascending for even slab rows, descending for odd (the alternation the
+    # bitonic merge phases need; the direction itself is irrelevant).
+    raw = slab[...]
+    # (S, 1, BC): keep the sliced dim leading/untiled — Mosaic requires
+    # sublane-dim slice starts to be provably 8-aligned
+    cnt_ref[...] = jnp.sum((raw < BIG * 0.5).astype(jnp.float32), axis=1,
+                           keepdims=True)
+    if W > 1:
+        # alternate sort directions by slice parity: the window's runs then
+        # alternate asc/desc, which is what the merge phases need
+        srow = jax.lax.broadcasted_iota(jnp.int32, (S, Ypad, BC), 0)
+        flip = (srow & 1) == 1
+    else:
+        flip = None  # no merge phases run; slices must end up ascending
+    slab[...] = _bitonic_phases(raw, 1, Ypad // 2, axis=1, flip=flip)
+
+    npad = P2 - W * Ypad
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (P2, BC), 0)
+
+    def g_body(g, carry):
+        win = slab[pl.ds(g, W)]                      # (W, Ypad, BC)
+        nv = jnp.sum(cnt_ref[pl.ds(g, W)], axis=(0, 1))   # (BC,)
+        arr = win.reshape(W * Ypad, BC)
+        if npad:
+            arr = jnp.concatenate(
+                [arr, jnp.full((npad, BC), BIG, dtype=arr.dtype)], axis=0)
+        arr = _bitonic_phases(arr, Ypad, P2 // 2)     # merge 32-runs -> P2
+        arr_ref[...] = arr
+
+        # Hyndman-Fan per-lane fractional ranks for each node
+        nvm1 = jnp.maximum(nv - 1.0, 0.0)
+
+        def node_ranks(j):
+            # identical fp sequencing to ops.quantile.nan_quantile:
+            # h = n*q + (q*(1-a-b)+a), then -1.0 as a separate op
+            h = jnp.clip((nv * qvals[j] + coffs[j]) - 1.0, 0.0, nvm1)
+            k0 = jnp.floor(h).astype(jnp.int32)
+            gam = h - k0.astype(jnp.float32)
+            k1 = jnp.minimum(k0 + 1, nvm1.astype(jnp.int32))
+            return k0, k1, gam
+
+        def select(seg, seg_iota, j):
+            k0, k1, gam = node_ranks(j)
+            sel0 = (seg_iota == k0[None, :]).astype(seg.dtype)
+            sel1 = (seg_iota == k1[None, :]).astype(seg.dtype)
+            v0 = jnp.sum(seg * sel0, axis=0)
+            v1 = jnp.sum(seg * sel1, axis=0)
+            # same fp expression as ops.quantile.nan_quantile's one-hot
+            # contraction: v0*(1-g) + v1*g (NOT v0 + g*(v1-v0))
+            return v0 * (1.0 - gam) + v1 * gam
+
+        nmin = jnp.min(nv)
+        nmax = jnp.max(nv)
+        wsel = min(_WSEL, P2)
+
+        def fast(_):
+            # all lanes' ranks for node j sit within a wsel window anchored
+            # at the block-min count
+            rows = []
+            for j in range(nq):
+                start = (jnp.floor((nmin * qvals[j] + coffs[j]) - 1.0)
+                         .astype(jnp.int32) - 8)
+                start = pl.multiple_of(jnp.clip(start, 0, P2 - wsel) & ~7, 8)
+                seg = arr_ref[pl.ds(start, wsel)]
+                seg_iota = (jax.lax.broadcasted_iota(jnp.int32, (wsel, BC), 0)
+                            + start)
+                rows.append(select(seg, seg_iota, j))
+            return jnp.stack(rows, axis=0)
+
+        def full(_):
+            rows = [select(arr, iota_r, j) for j in range(nq)]
+            return jnp.stack(rows, axis=0)
+
+        if wsel - 24 <= 0:
+            res = full(None)
+        else:
+            res = jax.lax.cond(nmax - nmin <= jnp.float32(wsel - 24),
+                               fast, full, None)
+        # all-missing lanes select the BIG sentinel; the host wrapper maps
+        # >= BIG/2 back to NaN (no NaN literals in-kernel)
+        out_ref[g] = res
+        return carry
+
+    jax.lax.fori_loop(0, DB, g_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "q_tuple", "window", "nq", "alpha", "beta", "db", "interpret"))
+def _call(xgp, *, q_tuple, window, nq, alpha, beta, db, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ngDB_2h, Ypad, Cp = xgp.shape
+    half = window // 2
+    S = db + 2 * half
+    ngrid = (ngDB_2h - 2 * half) // db
+    nc = Cp // _LANES
+    P2 = _pow2(window * Ypad)
+    # round at f32 exactly where nan_quantile's op sequence does
+    qvals = tuple(float(np.float32(v)) for v in q_tuple)
+    coffs = tuple(float(np.float32(np.float32(v) * np.float32(1 - alpha - beta))
+                        + np.float32(alpha)) for v in qvals)
+
+    kernel = functools.partial(
+        _kernel, S=S, DB=db, W=window, Ypad=Ypad, P2=P2, nq=nq, BC=_LANES,
+        qvals=qvals, coffs=coffs, alpha=alpha, beta=beta)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nc, ngrid),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((db, nq, _LANES),
+                               lambda ci, gi: (gi, 0, ci)),
+        out_shape=jax.ShapeDtypeStruct((ngrid * db, nq, Cp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((S, Ypad, _LANES), jnp.float32),
+                        pltpu.VMEM((S, 1, _LANES), jnp.float32),
+                        pltpu.VMEM((P2, _LANES), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+    )(xgp)
+    return out
+
+
+def doy_window_quantiles(xg, q, window: int, alpha: float = 1.0,
+                         beta: float = 1.0, db: int = 64,
+                         interpret: bool = False):
+    """Quantiles of each wrapped ±(window//2)-doy group of slices.
+
+    xg: (n_doy, Y, C) float32 — doy-sliced samples, NaN where missing
+    (slot y of doy d = d-th doy of the y-th year, or NaN).
+    q: (nq,) quantile nodes in [0, 1].
+    Returns (n_doy, nq, C) with the same Hyndman-Fan alpha/beta semantics as
+    :func:`xclim_tpu.ops.quantile.nan_quantile` (no valid samples -> NaN).
+    """
+    xg = jnp.asarray(xg, jnp.float32)
+    n_doy, Y, C = xg.shape
+    half = window // 2
+    if window % 2 != 1:
+        raise ValueError("window must be odd")
+    qs = np.asarray(q, dtype=np.float64).reshape(-1)
+    nq = len(qs)
+    Ypad = max(8, _pow2(Y))
+    db = min(db, _pow2(n_doy))
+    ngrid = -(-n_doy // db)
+    Cp = -(-C // _LANES) * _LANES
+
+    x = jnp.where(xg == xg, xg, BIG)
+    if Ypad > Y:
+        x = jnp.pad(x, ((0, 0), (0, Ypad - Y), (0, 0)), constant_values=BIG)
+    if Cp > C:
+        # edge-replicate pad lanes: BIG lanes would zero the block-min valid
+        # count and disable the windowed fast selection for the whole block
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, Cp - C)), mode="edge")
+    # circular doy pad + tail pad up to the grid size
+    head = x[n_doy - half:] if half else x[:0]
+    tail = x[:half]
+    parts = [head, x, tail]
+    extra = ngrid * db - n_doy
+    if extra:
+        parts.append(jnp.full((extra, Ypad, Cp), BIG, dtype=jnp.float32))
+    xgp = jnp.concatenate(parts, axis=0)
+
+    out = _call(xgp, q_tuple=tuple(qs), window=window, nq=nq, alpha=float(alpha),
+                beta=float(beta), db=db, interpret=interpret)
+    out = out[:n_doy, :, :C]
+    return jnp.where(out >= BIG * 0.5, jnp.nan, out)
+
+
+def doy_window_quantiles_xla(xg, q, window: int, alpha: float = 1.0,
+                             beta: float = 1.0):
+    """Pure-XLA reference/fallback: windowed gather + batched sort quantile
+    (the round-2 algorithm, restated on the (n_doy, Y, C) slice layout)."""
+    from xclim_tpu.ops.quantile import nan_quantile
+
+    xg = jnp.asarray(xg, jnp.float32)
+    n_doy, Y, C = xg.shape
+    half = window // 2
+    offs = np.arange(-half, half + 1)
+    rows = (np.arange(n_doy)[:, None] + offs[None, :]) % n_doy  # (n_doy, W)
+    g = xg[rows.reshape(-1)].reshape(n_doy, window * Y, C)
+    out = nan_quantile(g, jnp.asarray(np.asarray(q), jnp.float32), axis=1,
+                       alpha=alpha, beta=beta)          # (nq, n_doy, C)
+    return jnp.moveaxis(out, 0, 1)

@@ -27,6 +27,8 @@ from xclim_tpu.sdba.utils import (
     grouped_rank,
     interp_hat_nodes,
     interp_on_quantiles,
+    windowed_doy_mean,
+    windowed_doy_quantile,
 )
 
 
@@ -87,6 +89,17 @@ def _qm_train_core(xref, xhist, tref, thist, q, *, kind):
     return _inv_kind(ref_q, hist_q, kind), hist_q
 
 
+@functools.partial(jax.jit, static_argnames=("q_tuple", "kind", "window"))
+def _qm_train_core_doy(xref, xhist, dtref, dthist, *, q_tuple, kind, window):
+    """Day-of-year windowed trainer on the merge kernel — no windowed
+    gather+sort (ops/pallas/winquantile.py; ~10x the round-2 train).
+    q_tuple is static: the kernel bakes the Hyndman-Fan node offsets in."""
+    q = np.asarray(q_tuple, dtype=np.float32)
+    ref_q = windowed_doy_quantile(xref, dtref, window, q)
+    hist_q = windowed_doy_quantile(xhist, dthist, window, q)
+    return _inv_kind(ref_q, hist_q, kind), hist_q
+
+
 @functools.partial(jax.jit, static_argnames=("kind",))
 def _dqm_train_core(xref, xhist, tref, thist, gid_hist, q, *, kind):
     mu_ref = _grouped_mean_tf(xref, tref)
@@ -95,6 +108,19 @@ def _dqm_train_core(xref, xhist, tref, thist, gid_hist, q, *, kind):
     xh_sc = _apply_kind(xhist, jnp.take(scaling, gid_hist, axis=0), kind)
     ref_q = _grouped_quantile_tf(xref, tref, q)
     hist_q = _grouped_quantile_tf(xh_sc, thist, q)
+    return _inv_kind(ref_q, hist_q, kind), hist_q, scaling
+
+
+@functools.partial(jax.jit, static_argnames=("q_tuple", "kind", "window"))
+def _dqm_train_core_doy(xref, xhist, dtref, dthist, gid_hist, *, q_tuple,
+                        kind, window):
+    q = np.asarray(q_tuple, dtype=np.float32)
+    mu_ref = windowed_doy_mean(xref, dtref, window)
+    mu_hist = windowed_doy_mean(xhist, dthist, window)
+    scaling = _inv_kind(mu_ref, mu_hist, kind)  # (G, ...)
+    xh_sc = _apply_kind(xhist, jnp.take(scaling, gid_hist, axis=0), kind)
+    ref_q = windowed_doy_quantile(xref, dtref, window, q)
+    hist_q = windowed_doy_quantile(xh_sc, dthist, window, q)
     return _inv_kind(ref_q, hist_q, kind), hist_q, scaling
 
 
@@ -216,13 +242,20 @@ class EmpiricalQuantileMapping(TrainAdjust):
                kind: str = "+"):
         q = equally_spaced_nodes(nquantiles) if np.isscalar(nquantiles) \
             else np.asarray(nquantiles)
-        qj = jnp.asarray(q, dtype=jnp.float32)
         xref = jnp.moveaxis(ref.data, ref.time_axis, 0)
         xhist = jnp.moveaxis(hist.data, hist.time_axis, 0)
-        af, hist_q = _qm_train_core(xref, xhist,
-                                    group.device_train_table(ref.time),
-                                    group.device_train_table(hist.time),
-                                    qj, kind=kind)
+        if group.group == "time.dayofyear":
+            af, hist_q = _qm_train_core_doy(
+                xref, xhist, group.device_doy_table(ref.time),
+                group.device_doy_table(hist.time),
+                q_tuple=tuple(float(v) for v in q), kind=kind,
+                window=group.window)
+        else:
+            af, hist_q = _qm_train_core(xref, xhist,
+                                        group.device_train_table(ref.time),
+                                        group.device_train_table(hist.time),
+                                        jnp.asarray(q, dtype=jnp.float32),
+                                        kind=kind)
         return cls({"af": af, "hist_q": hist_q, "quantiles": np.asarray(q)},
                    group=group, kind=kind)
 
@@ -246,13 +279,20 @@ class DetrendedQuantileMapping(TrainAdjust):
                kind: str = "+"):
         q = equally_spaced_nodes(nquantiles) if np.isscalar(nquantiles) \
             else np.asarray(nquantiles)
-        qj = jnp.asarray(q, dtype=jnp.float32)
         xref = jnp.moveaxis(ref.data, ref.time_axis, 0)
         xhist = jnp.moveaxis(hist.data, hist.time_axis, 0)
         gid_hist = jnp.asarray(group.group_of_step(hist.time))
-        af, hist_q, scaling = _dqm_train_core(
-            xref, xhist, group.device_train_table(ref.time),
-            group.device_train_table(hist.time), gid_hist, qj, kind=kind)
+        if group.group == "time.dayofyear":
+            af, hist_q, scaling = _dqm_train_core_doy(
+                xref, xhist, group.device_doy_table(ref.time),
+                group.device_doy_table(hist.time), gid_hist,
+                q_tuple=tuple(float(v) for v in q), kind=kind,
+                window=group.window)
+        else:
+            af, hist_q, scaling = _dqm_train_core(
+                xref, xhist, group.device_train_table(ref.time),
+                group.device_train_table(hist.time), gid_hist,
+                jnp.asarray(q, dtype=jnp.float32), kind=kind)
         return cls({"af": af, "hist_q": hist_q, "scaling": scaling,
                     "quantiles": np.asarray(q)}, group=group, kind=kind)
 
@@ -284,20 +324,7 @@ class QuantileDeltaMapping(TrainAdjust):
     """QDM: af at the simulation's own empirical rank — preserves sim deltas
     (xsdba.QuantileDeltaMapping, Cannon et al. 2015)."""
 
-    @classmethod
-    def _train(cls, ref, hist, *, group: Grouper, nquantiles: int = 20,
-               kind: str = "+"):
-        q = equally_spaced_nodes(nquantiles) if np.isscalar(nquantiles) \
-            else np.asarray(nquantiles)
-        qj = jnp.asarray(q, dtype=jnp.float32)
-        xref = jnp.moveaxis(ref.data, ref.time_axis, 0)
-        xhist = jnp.moveaxis(hist.data, hist.time_axis, 0)
-        af, hist_q = _qm_train_core(xref, xhist,
-                                    group.device_train_table(ref.time),
-                                    group.device_train_table(hist.time),
-                                    qj, kind=kind)
-        return cls({"af": af, "hist_q": hist_q, "quantiles": np.asarray(q)},
-                   group=group, kind=kind)
+    _train = EmpiricalQuantileMapping.__dict__["_train"]
 
     def _adjust(self, sim: ClimArray, interp: str = "linear",
                 extrapolation: str = "constant"):

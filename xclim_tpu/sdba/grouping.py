@@ -114,6 +114,39 @@ class Grouper:
         table[sg, within] = order.astype(np.int32)
         return table
 
+    def doy_table(self, time: TimeIndex) -> np.ndarray:
+        """(n_doy, max_occurrences) int32 time-index per (doy, occurrence),
+        -1 padded; occurrences in chronological order.
+
+        The doy-slice layout feeds the windowed-quantile training kernel
+        (ops/pallas/winquantile.py): slices are sorted once and windows are
+        merged from sorted runs, instead of gathering every step ``window``
+        times (the reference materializes the windowed construct —
+        xclim:src/xclim/core/calendar.py:428-447 rolling construct)."""
+        doy0 = (time.doy - 1).astype(np.int64)
+        G = max_doy(time.calendar)
+        counts = np.bincount(doy0, minlength=G)
+        ms = int(counts.max()) if len(counts) else 0
+        table = np.full((G, ms), -1, dtype=np.int32)
+        order = np.argsort(doy0, kind="stable")
+        sg = doy0[order]
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        within = np.arange(len(time)) - starts[sg]
+        table[sg, within] = order.astype(np.int32)
+        return table
+
+    def device_doy_table(self, time: TimeIndex):
+        """Device-resident doy_table, memoized per (grouper, time)."""
+        import jax.numpy as jnp
+
+        if not self._cacheable():
+            return jnp.asarray(self.doy_table(time))
+        key = (b"doy", self._time_key(time))
+        cache = self._dev_cache()
+        if key not in cache:
+            cache[key] = jnp.asarray(self.doy_table(time))
+        return cache[key]
+
     # -- device-resident table cache ----------------------------------------
     # Tables cross the host->device tunnel (~15 MB/s) once per distinct time
     # index instead of once per train/adjust call; the same cache key also

@@ -11,7 +11,8 @@ from xclim_tpu.ops.quantile import nan_quantile
 from xclim_tpu.sdba.grouping import Grouper
 
 __all__ = ["equally_spaced_nodes", "grouped_quantile", "interp_on_quantiles",
-           "grouped_rank", "interp_hat_nodes", "gather_groups"]
+           "grouped_rank", "interp_hat_nodes", "gather_groups",
+           "gather_doy_slices", "windowed_doy_quantile", "windowed_doy_mean"]
 
 
 def equally_spaced_nodes(n: int, eps: float | None = 1e-4) -> np.ndarray:
@@ -25,10 +26,12 @@ def equally_spaced_nodes(n: int, eps: float | None = 1e-4) -> np.ndarray:
 
 def grouped_quantile(da: ClimArray, grouper: Grouper, q: np.ndarray,
                      alpha: float = 1.0, beta: float = 1.0):
-    """Per-group quantiles: (n_groups, nq, ...space) device array.
-
-    One static gather + the batched NaN-quantile kernel.
-    """
+    """Per-group quantiles: (n_groups, nq, ...space) device array."""
+    if grouper.group == "time.dayofyear":
+        xf = jnp.moveaxis(da.data, da.time_axis, 0)
+        return windowed_doy_quantile(xf, grouper.device_doy_table(da.time),
+                                     grouper.window, q, alpha=alpha,
+                                     beta=beta)
     table = grouper.device_train_table(da.time)
     ax = da.time_axis
     xf = jnp.moveaxis(da.data, ax, 0)
@@ -36,6 +39,64 @@ def grouped_quantile(da: ClimArray, grouper: Grouper, q: np.ndarray,
     out = nan_quantile(g, jnp.asarray(q, dtype=jnp.float32), axis=1,
                        alpha=alpha, beta=beta)  # (nq, G, ...)
     return jnp.moveaxis(out, 0, 1)  # (G, nq, ...)
+
+
+def _winquantile_mode() -> bool:
+    """Whether the Pallas windowed-quantile kernel serves this process."""
+    from xclim_tpu.ops.pallas.capability import winquantile_supported
+
+    return winquantile_supported()
+
+
+def gather_doy_slices(xf, doy_table):
+    """(T, ...) time-first array -> (n_doy, occ, ...) doy slices, NaN padded."""
+    t = jnp.asarray(doy_table)
+    g = xf[jnp.maximum(t, 0)]
+    okshape = t.shape + (1,) * (g.ndim - 2)
+    return jnp.where((t >= 0).reshape(okshape), g, jnp.nan)
+
+
+def windowed_doy_quantile(xf, doy_table, window: int, q, alpha: float = 1.0,
+                          beta: float = 1.0):
+    """Quantiles of every ±half-doy window: (n_doy, nq, ...space).
+
+    Dispatches to the Pallas merge kernel (ops/pallas/winquantile.py) when
+    the backend compiles it, else the windowed gather+sort XLA path. Both
+    share Hyndman-Fan semantics with :func:`nan_quantile` (outputs may differ
+    by ~1 ulp of the interpolation weight between engines).
+    """
+    from xclim_tpu.ops.pallas.capability import dispatch_counts
+    from xclim_tpu.ops.pallas.winquantile import (
+        doy_window_quantiles, doy_window_quantiles_xla)
+
+    xd = gather_doy_slices(xf, doy_table)         # (n_doy, occ, ...space)
+    sshape = xd.shape[2:]
+    xd2 = xd.reshape(xd.shape[:2] + (-1,)) if xd.ndim != 3 else xd
+    if _winquantile_mode():
+        dispatch_counts["pallas"] += 1
+        out = doy_window_quantiles(xd2, q, window, alpha=alpha, beta=beta)
+    else:
+        dispatch_counts["xla"] += 1
+        out = doy_window_quantiles_xla(xd2, q, window, alpha=alpha, beta=beta)
+    return out.reshape(out.shape[:2] + sshape)
+
+
+def windowed_doy_mean(xf, doy_table, window: int):
+    """NaN-mean of every ±half-doy window: (n_doy, ...space).
+
+    Per-doy sums/counts then a circular window-sum over the doy axis — one
+    pass over the data instead of the window-times-redundant gather."""
+    xd = gather_doy_slices(xf, doy_table)
+    ok = ~jnp.isnan(xd)
+    s = jnp.where(ok, xd, 0.0).sum(axis=1)        # (n_doy, ...)
+    c = ok.sum(axis=1).astype(jnp.float32)
+    n_doy = s.shape[0]
+    half = window // 2
+    rows = (np.arange(n_doy)[:, None]
+            + np.arange(-half, half + 1)[None, :]) % n_doy
+    sw = s[rows.reshape(-1)].reshape((n_doy, window) + s.shape[1:]).sum(axis=1)
+    cw = c[rows.reshape(-1)].reshape((n_doy, window) + c.shape[1:]).sum(axis=1)
+    return jnp.where(cw > 0, sw / jnp.maximum(cw, 1.0), jnp.nan)
 
 
 def interp_on_quantiles(x, xq, yq, method: str = "linear",
@@ -82,14 +143,24 @@ def grouped_rank(sim_g, nvalid):
     sim_g: (G, ms, C) group-gathered values (NaN padded). Returns same-shape
     ranks in (0, 1]: rank = #(group ≤ v) / n_valid (max rank 1.0).
 
-    Gather-free formulation (per-lane gathers are ~100x slower than sorts on
-    the TPU tunnel backend): one variadic sort yields the permutation; the
-    tie-run upper bound comes from a flipped cummax; a second variadic sort
-    keyed on the permutation un-sorts the counts.
+    Two formulations sharing the same tie semantics (upper count):
+
+    * small groups (ms <= 128, the windowless adjust tables): a brute
+      compare-count — #(group <= v) as one fused O(ms^2) reduction; beats
+      two full sorts by ~25x on-chip at (365, 30, cells);
+    * large groups: one variadic sort yields the permutation; the tie-run
+      upper bound comes from a flipped cummax; a second variadic sort keyed
+      on the permutation un-sorts the counts (gather-free — per-lane gathers
+      are ~100x slower than sorts on the TPU tunnel backend).
     """
     import jax
 
     ms = sim_g.shape[-2]
+    if ms <= 128:
+        cnt = jnp.sum(sim_g[..., :, None, :] <= sim_g[..., None, :, :],
+                      axis=-3)
+        n = jnp.maximum(nvalid[..., None, :], 1)
+        return cnt.astype(jnp.float32) / n.astype(jnp.float32)
     iota = jnp.broadcast_to(
         jnp.arange(ms, dtype=jnp.int32)[:, None], sim_g.shape[-2:])
     iota = jnp.broadcast_to(iota, sim_g.shape)
