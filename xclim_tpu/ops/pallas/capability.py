@@ -134,6 +134,60 @@ def winquantile_supported() -> bool:
     return _WQ_OK
 
 
+_SR_OK: bool | None = None
+
+
+def _probe_segred() -> bool:
+    """Compile + run the one-pass segment-reduce kernel at a tiny shape and
+    check it against the XLA gather path (own probe — the remote Mosaic
+    helper accepts/rejects per-program)."""
+    marker = _probe_cache_path()
+    marker = marker + "_sr" if marker else None
+    if marker and os.path.exists(marker):
+        return True
+    try:
+        import numpy as np
+
+        from xclim_tpu.core.calendar import date_range, resample_segments
+        from xclim_tpu.ops.pallas.segred import segment_reduce_onepass
+
+        t = date_range("2000-01-01", periods=20, freq="D", calendar="noleap")
+        spec = resample_segments(t, "10D")
+        rng = np.random.default_rng(0)
+        x = rng.normal(0, 1, (20, 16)).astype(np.float32)
+        x[3:5, 2] = np.nan
+        x[:10, 0] = np.nan  # one all-NaN segment lane
+        oks = []
+        for op in ("mean", "max", "std"):
+            a = np.asarray(segment_reduce_onepass(x, spec, op))
+            from xclim_tpu.ops.segments import segment_reduce as _xla_sr
+
+            b = np.asarray(_xla_sr(x, spec, op, axis=0, _no_pallas=True))
+            oks.append(np.allclose(a, b, rtol=1e-5, atol=1e-5,
+                                   equal_nan=True))
+        ok = all(bool(v) for v in oks)
+        if ok and marker:
+            with open(marker, "w") as f:
+                f.write("ok\n")
+        return ok
+    except Exception:
+        return False
+
+
+def segred_supported() -> bool:
+    """Whether the Pallas one-pass segment-reduce serves this process."""
+    global _SR_OK
+    if _SR_OK is None:
+        mode = pallas_mode()
+        if mode == "off":
+            _SR_OK = False
+        elif mode == "interpret":
+            _SR_OK = False
+        else:
+            _SR_OK = _probe_segred()
+    return _SR_OK
+
+
 def pallas_mode() -> str:
     """Resolve (and cache) the Pallas dispatch mode for this process."""
     global _MODE
@@ -153,11 +207,12 @@ def pallas_mode() -> str:
 
 def set_pallas_mode(mode: str | None) -> None:
     """Override the dispatch mode (``None`` re-enables probing)."""
-    global _MODE, _WQ_OK
+    global _MODE, _WQ_OK, _SR_OK
     if mode is not None and mode not in ("off", "mosaic", "interpret"):
         raise ValueError(f"unknown pallas mode {mode!r}")
     _MODE = mode
     _WQ_OK = None
+    _SR_OK = None
 
 
 def mosaic_supported() -> bool:

@@ -84,7 +84,62 @@ def _gather_segments(x, table, axis):
     return g, pad_ok
 
 
-def segment_reduce(x, spec: SegmentSpec, op: str, axis: int = 0, skipna: bool = True):
+def _segments_contiguous(spec: SegmentSpec) -> bool:
+    """Whether segments tile the time axis contiguously in order (true for
+    every resample_segments spec; required by the one-pass Pallas kernel)."""
+    flag = getattr(spec, "_contiguous", None)
+    if flag is None:
+        starts = np.asarray(spec.starts, dtype=np.int64)
+        counts = np.asarray(spec.counts, dtype=np.int64)
+        flag = bool(
+            len(starts)
+            and starts[0] == 0
+            and np.all(starts[1:] == starts[:-1] + counts[:-1])
+            and starts[-1] + counts[-1] == len(spec.seg_id))
+        object.__setattr__(spec, "_contiguous", flag)
+    return flag
+
+
+#: one-pass kernel limits: VMEM block budget (time-rows x 512 lanes x 4 B,
+#: double-buffered by the Pallas pipeline) and the static-unroll bound
+_SEGRED_MAX_T = 12288
+_SEGRED_MAX_NSEG = 512
+
+
+def _pallas_segment_reduce(x, spec, op, axis):
+    """One-pass Pallas path; None → caller falls through to the XLA gather."""
+    from xclim_tpu.ops.pallas.segred import SUPPORTED_OPS
+
+    if op not in SUPPORTED_OPS:
+        return None
+    if not jnp.issubdtype(jnp.result_type(x), jnp.floating):
+        return None
+    T = x.shape[axis]
+    if T != len(spec.seg_id) or T > _SEGRED_MAX_T:
+        return None
+    if spec.nseg > _SEGRED_MAX_NSEG or not _segments_contiguous(spec):
+        return None
+    from xclim_tpu.ops.pallas.capability import segred_supported
+
+    if not segred_supported():
+        return None
+    from xclim_tpu.ops.pallas.segred import segment_reduce_onepass
+
+    xf = _moveaxis_front(x, axis)
+    shape = xf.shape
+    try:
+        out = segment_reduce_onepass(xf.reshape(T, -1), spec, op)
+    except Exception:
+        from xclim_tpu.ops.pallas.capability import set_pallas_mode
+
+        set_pallas_mode("off")
+        return None
+    out = out.reshape((spec.nseg,) + shape[1:])
+    return jnp.moveaxis(out, 0, axis)
+
+
+def segment_reduce(x, spec: SegmentSpec, op: str, axis: int = 0, skipna: bool = True,
+                   _no_pallas: bool = False):
     """resample(time=freq).op(...) over the given axis.
 
     Parameters
@@ -96,14 +151,24 @@ def segment_reduce(x, spec: SegmentSpec, op: str, axis: int = 0, skipna: bool = 
 
     Returns array with time axis replaced by segment axis (length nseg).
 
+    Dispatch: float inputs with skipna on a contiguous spec go through the
+    one-pass Pallas kernel (ops/pallas/segred.py — one HBM read of the
+    series) when the backend compiles it; everything else takes the XLA
+    gather+reduce below.
+
     Note: a one-hot-matmul formulation (MXU dot with a (nseg, T) selection
     matrix) beats this gather+reduce 2.2x as a STANDALONE kernel (40 ms vs
     88 ms at monthly (3650, 262144) f32 on v5e), but loses end-to-end in the
     indicator pipeline (67 ms vs 49 ms for tg_mean): matmul operands must be
     materialized in HBM, while XLA fuses the gather path's compare/where/
     convert producers and the missing-value count into ONE traversal of the
-    input. Fusion wins; measured and rejected.
+    input. Fusion wins; measured and rejected. The Pallas kernel beats both
+    by fusing the mask, count and reduce into the single read.
     """
+    if skipna and not _no_pallas:
+        out = _pallas_segment_reduce(x, spec, op, axis)
+        if out is not None:
+            return out
     table = build_gather_table(spec)
     g, pad_ok = _gather_segments(x, table, axis)
     isfloat = jnp.issubdtype(g.dtype, jnp.floating)
