@@ -57,22 +57,12 @@ def _ce(x, k, asc, axis):
     """Bitonic compare-exchange (i <-> i^k) along ``axis`` of x.
 
     asc: bool array of x's shape, True where index i's 2p-block sorts
-    ascending. Uses a tile-preserving reshape for k >= 8 and circular rolls
-    (the partner i^k never actually wraps for power-of-two lengths) below.
+    ascending. Circular-roll formulation for every k: the partner i^k never
+    actually wraps for power-of-two lengths, and Mosaic lowers sublane rolls
+    at ~1.9x the throughput of the tile-preserving reshape alternative
+    (measured 1032 vs 556 G elem-ops/s on (1024, 128) f32 merge phases).
     """
     n = x.shape[axis]
-    if k >= 8:
-        shp = x.shape[:axis] + (n // (2 * k), 2, k) + x.shape[axis + 1:]
-        xr = x.reshape(shp)
-        a = jax.lax.index_in_dim(xr, 0, axis + 1, keepdims=False)
-        b = jax.lax.index_in_dim(xr, 1, axis + 1, keepdims=False)
-        ar = jax.lax.index_in_dim(asc.reshape(shp), 0, axis + 1,
-                                  keepdims=False)
-        lo = jnp.minimum(a, b)
-        hi = jnp.maximum(a, b)
-        out = jnp.stack([jnp.where(ar, lo, hi), jnp.where(ar, hi, lo)],
-                        axis=axis + 1)
-        return out.reshape(x.shape)
     down = _roll(x, n - k, axis)  # value at i becomes x[i + k]
     up = _roll(x, k, axis)        # value at i becomes x[i - k]
     ii = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
@@ -179,6 +169,33 @@ def _kernel(x_hbm, out_ref, slab, cnt_ref, arr_ref, sem, *, S, DB, W, Ypad,
         nmax = jnp.max(nv)
         wsel = min(_WSEL, P2)
 
+        def uniform(_):
+            # every lane in the block has the same valid count (the no-NaN
+            # common case): all ranks are block-scalars, so each node needs
+            # only a 16-row aligned read around k0 (4x the wsel=64 fast
+            # path).  The rank math runs on (1, BC) broadcasts of the scalar
+            # count so the fp sequencing is bit-identical to the lane-wise
+            # paths.
+            nvb = jnp.broadcast_to(nmin.reshape(1, 1), (1, BC))
+            nvm1b = jnp.maximum(nvb - 1.0, 0.0)
+            rows = []
+            for j in range(nq):
+                h = jnp.clip((nvb * qvals[j] + coffs[j]) - 1.0, 0.0, nvm1b)
+                k0 = jnp.floor(h).astype(jnp.int32)
+                gam = h - k0.astype(jnp.float32)
+                k1 = jnp.minimum(k0 + 1, nvm1b.astype(jnp.int32))
+                base = jnp.clip(k0[0, 0] & ~7, 0, P2 - 16)
+                base = pl.multiple_of(base, 8)
+                seg = arr_ref[pl.ds(base, 16)]
+                ii = (jax.lax.broadcasted_iota(jnp.int32, (16, BC), 0)
+                      + base)
+                sel0 = (ii == k0).astype(seg.dtype)
+                sel1 = (ii == k1).astype(seg.dtype)
+                v0 = jnp.sum(seg * sel0, axis=0)
+                v1 = jnp.sum(seg * sel1, axis=0)
+                rows.append(v0 * (1.0 - gam[0]) + v1 * gam[0])
+            return jnp.stack(rows, axis=0)
+
         def fast(_):
             # all lanes' ranks for node j sit within a wsel window anchored
             # at the block-min count
@@ -200,8 +217,11 @@ def _kernel(x_hbm, out_ref, slab, cnt_ref, arr_ref, sem, *, S, DB, W, Ypad,
         if wsel - 24 <= 0:
             res = full(None)
         else:
-            res = jax.lax.cond(nmax - nmin <= jnp.float32(wsel - 24),
-                               fast, full, None)
+            res = jax.lax.cond(
+                nmax == nmin, uniform,
+                lambda _: jax.lax.cond(
+                    nmax - nmin <= jnp.float32(wsel - 24), fast, full, None),
+                None)
         # all-missing lanes select the BIG sentinel; the host wrapper maps
         # >= BIG/2 back to NaN (no NaN literals in-kernel)
         out_ref[g] = res
