@@ -1228,6 +1228,139 @@ MANUAL = {
         "title": "Périodes avec température maximale sous le seuil (<)",
         "description": "Durée maximale {freq:f} des séquences de jours consécutifs où la température maximale quotidienne est sous {thresh}.",
     },
+    # ------------------------------------------------------------------
+    # round 3 : dernières entrées issues du générateur, réécrites à la main
+    # ------------------------------------------------------------------
+    "atmos.TG_MEAN": {
+        "long_name": "Moyenne de la température moyenne quotidienne",
+        "title": "Moyenne de la température moyenne quotidienne",
+        "description": "Moyenne {freq:f} de la température moyenne quotidienne.",
+    },
+    "atmos.TG_MAX": {
+        "long_name": "Maximum de la température moyenne quotidienne",
+        "title": "Maximum de la température moyenne quotidienne",
+        "description": "Maximum {freq:m} de la température moyenne quotidienne.",
+    },
+    "atmos.TG_MIN": {
+        "long_name": "Minimum de la température moyenne quotidienne",
+        "title": "Minimum de la température moyenne quotidienne",
+        "description": "Minimum {freq:m} de la température moyenne quotidienne.",
+    },
+    "atmos.TX_MAX": {
+        "long_name": "Maximum de la température maximale quotidienne",
+        "title": "Maximum de la température maximale quotidienne",
+        "description": "Maximum {freq:m} de la température maximale quotidienne.",
+    },
+    "atmos.TX_DAYS_ABOVE": {
+        "long_name": "Nombre de jours avec température maximale au-dessus de {thresh}",
+        "title": "Nombre de jours avec température maximale au-dessus d'un seuil",
+        "description": "Nombre {freq:m} de jours où la température maximale quotidienne dépasse {thresh}.",
+    },
+    "atmos.FROST_DAYS": {
+        "long_name": "Nombre de jours de gel (tasmin < {thresh})",
+        "title": "Jours de gel",
+        "description": "Nombre {freq:m} de jours où la température minimale quotidienne est sous {thresh}.",
+    },
+    "atmos.ICE_DAYS": {
+        "long_name": "Nombre de jours sans dégel (tasmax < {thresh})",
+        "title": "Jours sans dégel",
+        "description": "Nombre {freq:m} de jours où la température maximale quotidienne est sous {thresh}.",
+    },
+    "atmos.GROWING_DEGREE_DAYS": {
+        "long_name": "Degrés-jours de croissance (seuil de {thresh})",
+        "title": "Degrés-jours de croissance",
+        "description": "Cumul {freq:m} des degrés-jours au-dessus de {thresh}.",
+    },
+    "atmos.HEATING_DEGREE_DAYS": {
+        "long_name": "Degrés-jours de chauffage (seuil de {thresh})",
+        "title": "Degrés-jours de chauffage",
+        "description": "Cumul {freq:m} des degrés-jours sous {thresh}.",
+    },
+    "atmos.COOLING_DEGREE_DAYS": {
+        "long_name": "Degrés-jours de climatisation (seuil de {thresh})",
+        "title": "Degrés-jours de climatisation",
+        "description": "Cumul {freq:m} des degrés-jours au-dessus de {thresh}.",
+    },
+    "atmos.HEAT_WAVE_FREQUENCY": {
+        "long_name": "Nombre de vagues de chaleur",
+        "title": "Fréquence des vagues de chaleur",
+        "description": "Nombre {freq:m} de vagues de chaleur : au moins {window} jours consécutifs où la température minimale quotidienne dépasse {thresh_tasmin} et la température maximale quotidienne dépasse {thresh_tasmax}.",
+    },
+    "atmos.HEAT_WAVE_MAX_LENGTH": {
+        "long_name": "Durée maximale des vagues de chaleur",
+        "title": "Durée maximale des vagues de chaleur",
+        "description": "Durée {freq:f} de la plus longue vague de chaleur : au moins {window} jours consécutifs où la température minimale quotidienne dépasse {thresh_tasmin} et la température maximale quotidienne dépasse {thresh_tasmax}.",
+    },
+    "atmos.HOT_SPELL_FREQUENCY": {
+        "long_name": "Nombre de périodes chaudes",
+        "title": "Fréquence des périodes chaudes",
+        "description": "Nombre {freq:m} de périodes chaudes : au moins {window} jours consécutifs où la température maximale quotidienne dépasse {thresh}.",
+    },
+    "atmos.PRECIP_ACCUMULATION": {
+        "long_name": "Précipitations totales",
+        "title": "Précipitations accumulées",
+        "description": "Cumul {freq:m} des précipitations totales.",
+    },
+    "atmos.WETDAYS": {
+        "long_name": "Nombre de jours pluvieux (pr ≥ {thresh})",
+        "title": "Jours pluvieux",
+        "description": "Nombre {freq:m} de jours où les précipitations quotidiennes atteignent ou dépassent {thresh}.",
+    },
+    "atmos.MAXIMUM_CONSECUTIVE_DRY_DAYS": {
+        "long_name": "Durée maximale d'une période sèche (pr < {thresh})",
+        "title": "Durée maximale d'une période sèche",
+        "description": "Nombre maximal {freq:m} de jours consécutifs où les précipitations quotidiennes sont sous {thresh}.",
+    },
+    "atmos.CDD": {
+        "long_name": "Nombre maximal de jours secs consécutifs",
+        "title": "Jours secs consécutifs",
+        "description": "Nombre maximal {freq:m} de jours consécutifs où les précipitations quotidiennes sont sous 1 mm.",
+    },
+    "atmos.CWD": {
+        "long_name": "Nombre maximal de jours pluvieux consécutifs",
+        "title": "Jours pluvieux consécutifs",
+        "description": "Nombre maximal {freq:m} de jours consécutifs où les précipitations quotidiennes atteignent ou dépassent 1 mm.",
+    },
+    "atmos.CDDCOLDTT": {
+        "long_name": "Degrés-jours de climatisation (seuil de {thresh})",
+        "title": "Degrés-jours de climatisation",
+        "description": "Cumul {freq:m} des degrés-jours de la température moyenne quotidienne au-dessus de {thresh}.",
+    },
+    "atmos.DDGTTT": {
+        "long_name": "Degrés-jours au-dessus de {thresh}",
+        "title": "Degrés-jours au-dessus d'un seuil",
+        "description": "Cumul {freq:m} des degrés-jours de la température moyenne quotidienne au-dessus de {thresh}.",
+    },
+    "atmos.DDLTTT": {
+        "long_name": "Degrés-jours sous {thresh}",
+        "title": "Degrés-jours sous un seuil",
+        "description": "Cumul {freq:m} des degrés-jours de la température moyenne quotidienne sous {thresh}.",
+    },
+    "atmos.GDDGROWTT": {
+        "long_name": "Degrés-jours de croissance (seuil de {thresh})",
+        "title": "Degrés-jours de croissance",
+        "description": "Cumul {freq:m} des degrés-jours de la température moyenne quotidienne au-dessus de {thresh}.",
+    },
+    "atmos.HDDHEATTT": {
+        "long_name": "Degrés-jours de chauffage (seuil de {thresh})",
+        "title": "Degrés-jours de chauffage",
+        "description": "Cumul {freq:m} des degrés-jours de la température moyenne quotidienne sous {thresh}.",
+    },
+    "atmos.TGMAX": {
+        "long_name": "Maximum de la température moyenne quotidienne",
+        "title": "Maximum de la température moyenne quotidienne",
+        "description": "Maximum {freq:m} de la température moyenne quotidienne.",
+    },
+    "atmos.TGMIN": {
+        "long_name": "Minimum de la température moyenne quotidienne",
+        "title": "Minimum de la température moyenne quotidienne",
+        "description": "Minimum {freq:m} de la température moyenne quotidienne.",
+    },
+    "seaIce.SEA_ICE_EXTENT": {
+        "long_name": "Étendue de la glace de mer",
+        "title": "Étendue de la glace de mer",
+        "description": "Superficie totale des mailles océaniques où la concentration de glace de mer atteint ou dépasse {thresh}.",
+    },
 }
 
 
