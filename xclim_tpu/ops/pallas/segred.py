@@ -40,6 +40,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
 
 __all__ = ["segment_reduce_onepass", "SUPPORTED_OPS"]
 
@@ -53,6 +54,41 @@ SUPPORTED_OPS = {
     "min": "minmax", "max": "minmax",
     "std": "m2", "var": "m2",
 }
+
+
+def _mxu_kernel(s_ref, x_ref, cnt_ref, sum_ref):
+    """sum/mean/count as a tiled (nseg, T) x (T, C) matmul on the MXU.
+
+    Grid is (lane blocks, time chunks) with time innermost: each x block is
+    (Tc, BC) — rows of BC*4 contiguous bytes — and the matching selection
+    block S[:, t0:t0+Tc] streams alongside.  The NaN mask and the validity
+    count fuse into the block's single HBM read; partial products accumulate
+    into the revisited output block across the time chunks.  HIGHEST matmul
+    precision keeps the sums exact f32 (the default bf16 passes lose ~1e-2
+    on Kelvin-scale sums).  The masked-slice VPU loop below measured
+    55 GB/s at (3650, 512x512); this path is DMA-bound.
+    """
+    t = pl.program_id(1)
+    x = x_ref[...]
+    ok = (x >= 0.0) | (x < 0.0)          # False only for NaN
+    okf = ok.astype(jnp.float32)
+    xz = jnp.where(ok, x, 0.0)
+    s = s_ref[...]
+    dn = (((1,), (0,)), ((), ()))
+    c = jax.lax.dot_general(s, okf, dn, precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+    v = jax.lax.dot_general(s, xz, dn, precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+
+    @pl.when(t == 0)
+    def _init():
+        cnt_ref[...] = c
+        sum_ref[...] = v
+
+    @pl.when(t > 0)
+    def _acc():
+        cnt_ref[...] += c
+        sum_ref[...] += v
 
 
 def _kernel(x_ref, *out_refs, bounds, stats, BC):
@@ -86,27 +122,59 @@ def _kernel(x_ref, *out_refs, bounds, stats, BC):
             out_refs[2][s, :] = jnp.sum(jnp.where(ok, d * d, 0.0), axis=0)
 
 
+def _block_lanes(Tp: int) -> int:
+    """Lane-block width: two in-flight input blocks (the Pallas pipeline
+    double-buffers across grid steps) must fit well under VMEM, or the DMA
+    and compute serialize (measured: (3650, 512) blocks ran at 55 GB/s vs
+    75 for the XLA gather; (3650, 256) restores the overlap)."""
+    budget = 4 * 1024 * 1024  # bytes per in-flight input block
+    bc = budget // (Tp * 4)
+    bc = 1 << max(int(bc).bit_length() - 1, 0)
+    return int(min(512, max(128, bc)))
+
+
 @functools.partial(jax.jit, static_argnames=("bounds", "stats", "interpret"))
 def _call(x2, *, bounds, stats, interpret=False):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     T, C = x2.shape
-    Tp = -(-T // 8) * 8
-    Cp = -(-C // _LANES) * _LANES
-    if Tp > T or Cp > C:
-        x2 = jnp.pad(x2, ((0, Tp - T), (0, Cp - C)))
     nseg = len(bounds)
     nsegp = -(-nseg // 8) * 8
-    nblocks = Cp // _LANES
-    nouts = {"sum": 2, "minmax": 3, "m2": 3}[stats]
 
-    kernel = functools.partial(_kernel, bounds=bounds, stats=stats, BC=_LANES)
+    if stats == "sum":
+        TC = min(256, -(-T // 8) * 8)
+        BCm = 2048 if C >= 2048 else max(128, 1 << (C - 1).bit_length())
+        nt = -(-T // TC)
+        Tg = nt * TC
+        Cpm = -(-C // BCm) * BCm
+        xm = x2
+        if Tg > T or Cpm > C:
+            xm = jnp.pad(x2, ((0, Tg - T), (0, Cpm - C)))
+        sel = np.zeros((nsegp, Tg), dtype=np.float32)
+        for s, (a, b) in enumerate(bounds):
+            sel[s, a:b] = 1.0
+        outs = pl.pallas_call(
+            _mxu_kernel,
+            grid=(Cpm // BCm, nt),
+            in_specs=[pl.BlockSpec((nsegp, TC), lambda i, t: (0, t)),
+                      pl.BlockSpec((TC, BCm), lambda i, t: (t, i))],
+            out_specs=[pl.BlockSpec((nsegp, BCm), lambda i, t: (0, i))] * 2,
+            out_shape=[jax.ShapeDtypeStruct((nsegp, Cpm), jnp.float32)] * 2,
+            interpret=interpret,
+        )(jnp.asarray(sel), xm)
+        return tuple(o[:nseg, :C] for o in outs)
+
+    Tp = -(-T // 8) * 8
+    BC = _block_lanes(Tp)
+    Cp = -(-C // BC) * BC
+    if Tp > T or Cp > C:
+        x2 = jnp.pad(x2, ((0, Tp - T), (0, Cp - C)))
+    nblocks = Cp // BC
+    nouts = {"minmax": 3, "m2": 3}[stats]
+    kernel = functools.partial(_kernel, bounds=bounds, stats=stats, BC=BC)
     outs = pl.pallas_call(
         kernel,
         grid=(nblocks,),
-        in_specs=[pl.BlockSpec((Tp, _LANES), lambda i: (0, i))],
-        out_specs=[pl.BlockSpec((nsegp, _LANES), lambda i: (0, i))] * nouts,
+        in_specs=[pl.BlockSpec((Tp, BC), lambda i: (0, i))],
+        out_specs=[pl.BlockSpec((nsegp, BC), lambda i: (0, i))] * nouts,
         out_shape=[jax.ShapeDtypeStruct((nsegp, Cp), jnp.float32)] * nouts,
         interpret=interpret,
     )(x2)
