@@ -20,6 +20,35 @@ from xclim_tpu.ops.pallas.winquantile import (
     BIG, _LANES, _WSEL, _bitonic_phases, _pow2)
 
 
+def _ce_asc(x, k):
+    """All-ascending compare-exchange (sign-negation domain)."""
+    n = x.shape[0]
+    y = pltpu.roll(x, n - k, 0)
+    mn = jnp.minimum(x, y)
+    mx = jnp.maximum(x, y)
+    hi = pltpu.roll(mx, k, 0)
+    ii = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where((ii & k) == 0, mn, hi)
+
+
+def _merge_neg(x, p_start, p_end):
+    """Bitonic merge phases with direction encoded by block negation."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    p = p_start
+    x = jnp.where((ii & (2 * p)) == 0, x, -x)
+    while p <= p_end:
+        k = p
+        while k >= 1:
+            x = _ce_asc(x, k)
+            k //= 2
+        p2 = 2 * p
+        if p2 <= p_end:
+            flip = ((ii & (2 * p)) == 0) != ((ii & (2 * p2)) == 0)
+            x = jnp.where(flip, -x, x)
+        p = p2
+    return x
+
+
 def _kernel(x_hbm, out_ref, slab, cnt_ref, arr_ref, sem, *, S, DB, W, Ypad,
             P2, nq, BC, qvals, coffs, mode):
     ci = pl.program_id(0)
@@ -48,6 +77,8 @@ def _kernel(x_hbm, out_ref, slab, cnt_ref, arr_ref, sem, *, S, DB, W, Ypad,
                 [arr, jnp.full((npad, BC), BIG, dtype=arr.dtype)], axis=0)
         if mode in ("full", "no_select"):
             arr = _bitonic_phases(arr, Ypad, P2 // 2)
+        elif mode in ("golf", "golf_full"):
+            arr = _merge_neg(arr, Ypad, P2 // 2)
         arr_ref[...] = arr
         nvm1 = jnp.maximum(nv - 1.0, 0.0)
 
@@ -68,7 +99,7 @@ def _kernel(x_hbm, out_ref, slab, cnt_ref, arr_ref, sem, *, S, DB, W, Ypad,
 
         nmin = jnp.min(nv)
         wsel = min(_WSEL, P2)
-        if mode in ("full", "no_merge"):
+        if mode in ("full", "no_merge", "golf_full"):
             rows = []
             for j in range(nq):
                 start = (jnp.floor((nmin * qvals[j] + coffs[j]) - 1.0)
@@ -142,7 +173,7 @@ def main():
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
-    for mode in ("dma_only", "loop_only", "no_merge", "no_select", "full"):
+    for mode in ("no_select", "golf", "full", "golf_full"):
         try:
             t = med(mode)
             print(f"{mode:10s}: {t*1e3:8.1f} ms")

@@ -1,0 +1,128 @@
+"""Small-axis Hyndman-Fan quantiles — the ensemble/realization kernel.
+
+``nan_quantile`` reduces over an axis with XLA's variadic sort; for SHORT
+axes (ensemble realizations ~30, per-doy year samples ~30) that sort runs at
+~0.4 G elem/s on the tunnel backend (probe in tools/probe_roofline.py —
+lane-starved: the comparator network re-reads HBM per stage).  The whole
+statistic is tiny per lane, so this kernel streams (Mp, BC) lane blocks
+through VMEM once and does everything on registers:
+
+* full bitonic sort of the padded power-of-two axis (Mp <= 64: at most
+  21 compare-exchange substages);
+* per-lane valid counts and Hyndman-Fan interpolation, with the SAME f32 op
+  sequencing as :func:`xclim_tpu.ops.quantile.nan_quantile` (h = n*q +
+  (q*(1-a-b)+a), then -1, clip, floor, one-hot select, v0*(1-g)+v1*g);
+* NaNs map to a large finite sentinel host-side (they sort to the end and
+  drop out of the counts — ``jnp.isnan`` does not lower on the axon Mosaic
+  backend, see ops/pallas/spells.py).
+
+Reference behavior being replaced: the realization-axis percentile loop of
+``ensemble_percentiles`` (xclim:src/xclim/ensembles/_base.py:214-376) and
+``calc_perc`` (xclim:src/xclim/core/utils.py:279).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+__all__ = ["axis_quantile_small", "MAX_AXIS"]
+
+#: sentinel for missing values: finite (inf arithmetic poisons selection)
+BIG = 3.0e38
+
+#: largest reduce-axis length this kernel serves (one padded VMEM block)
+MAX_AXIS = 64
+
+_LANES = 512
+
+
+def _ce(x, k, asc_mask):
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = x.shape[0]
+    down = pltpu.roll(x, n - k, 0)
+    up = pltpu.roll(x, k, 0)
+    ii = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    low = (ii & k) == 0
+    partner = jnp.where(low, down, up)
+    want_small = low == asc_mask
+    return jnp.where(want_small, jnp.minimum(x, partner),
+                     jnp.maximum(x, partner))
+
+
+def _kernel(x_ref, *out_refs, Mp, nq, BC, qvals, coffs):
+    x = x_ref[...]                                   # (Mp, BC)
+    nv = jnp.sum((x < BIG * 0.5).astype(jnp.float32), axis=0)  # (BC,)
+
+    # full bitonic sort ascending along the sublane axis
+    ii = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    p = 1
+    while p <= Mp // 2:
+        asc = (ii & (2 * p)) == 0
+        k = p
+        while k >= 1:
+            x = _ce(x, k, asc)
+            k //= 2
+        p *= 2
+
+    nvm1 = jnp.maximum(nv - 1.0, 0.0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (Mp, BC), 0)
+    for j in range(nq):
+        h = jnp.clip((nv * qvals[j] + coffs[j]) - 1.0, 0.0, nvm1)
+        k0 = jnp.floor(h).astype(jnp.int32)
+        gam = h - k0.astype(jnp.float32)
+        k1 = jnp.minimum(k0 + 1, nvm1.astype(jnp.int32))
+        sel0 = (iota == k0[None, :]).astype(x.dtype)
+        sel1 = (iota == k1[None, :]).astype(x.dtype)
+        v0 = jnp.sum(x * sel0, axis=0)
+        v1 = jnp.sum(x * sel1, axis=0)
+        out_refs[j][0, :] = v0 * (1.0 - gam) + v1 * gam
+
+
+@functools.partial(jax.jit, static_argnames=("q_tuple", "alpha", "beta",
+                                             "interpret"))
+def _call(x2, *, q_tuple, alpha, beta, interpret=False):
+    M, C = x2.shape
+    Mp = max(8, 1 << (M - 1).bit_length())
+    Cp = -(-C // _LANES) * _LANES
+    x = jnp.where(x2 == x2, x2, BIG)
+    if Mp > M or Cp > C:
+        x = jnp.pad(x, ((0, Mp - M), (0, Cp - C)), constant_values=BIG)
+    qvals = tuple(float(np.float32(v)) for v in q_tuple)
+    coffs = tuple(float(np.float32(np.float32(v)
+                                   * np.float32(1 - alpha - beta))
+                        + np.float32(alpha)) for v in qvals)
+    nq = len(qvals)
+    kernel = functools.partial(_kernel, Mp=Mp, nq=nq, BC=_LANES,
+                               qvals=qvals, coffs=coffs)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Cp // _LANES,),
+        in_specs=[pl.BlockSpec((Mp, _LANES), lambda i: (0, i))],
+        out_specs=[pl.BlockSpec((1, _LANES), lambda i: (0, i))] * nq,
+        out_shape=[jax.ShapeDtypeStruct((1, Cp), jnp.float32)] * nq,
+        interpret=interpret,
+    )(x)
+    out = jnp.concatenate(outs, axis=0)[:, :C]       # (nq, C)
+    return jnp.where(out >= BIG * 0.5, jnp.nan, out)
+
+
+def axis_quantile_small(x2, q, alpha: float = 1.0, beta: float = 1.0,
+                        interpret: bool = False):
+    """Quantiles over the leading axis of a (M, C) float32 array, M <= 64.
+
+    Same semantics as :func:`xclim_tpu.ops.quantile.nan_quantile` with the
+    reduce axis first: (nq, C) output, all-NaN lanes -> NaN, single-valid ->
+    that value, H-F (alpha, beta) interpolation.
+    """
+    qs = np.asarray(q, dtype=np.float64).reshape(-1)
+    if x2.shape[0] > MAX_AXIS:
+        raise ValueError(f"axis too long for the small-axis kernel: "
+                         f"{x2.shape[0]} > {MAX_AXIS}")
+    return _call(jnp.asarray(x2, jnp.float32), q_tuple=tuple(qs),
+                 alpha=float(alpha), beta=float(beta), interpret=interpret)

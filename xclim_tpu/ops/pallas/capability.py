@@ -23,7 +23,8 @@ from __future__ import annotations
 import os
 
 __all__ = ["pallas_mode", "set_pallas_mode", "mosaic_supported",
-           "winquantile_supported", "dispatch_counts"]
+           "winquantile_supported", "segred_supported",
+           "axisquantile_supported", "dispatch_counts"]
 
 _MODE: str | None = None
 
@@ -188,6 +189,59 @@ def segred_supported() -> bool:
     return _SR_OK
 
 
+_AQ_OK: bool | None = None
+
+
+def _probe_axisquantile() -> bool:
+    """Compile + run the small-axis quantile kernel at a tiny shape against
+    the XLA nan_quantile path (own probe — the remote Mosaic helper
+    accepts/rejects per-program)."""
+    marker = _probe_cache_path()
+    marker = marker + "_aq" if marker else None
+    if marker and os.path.exists(marker):
+        return True
+    try:
+        import numpy as np
+
+        from xclim_tpu.ops.pallas.axisquantile import axis_quantile_small
+        from xclim_tpu.ops.quantile import nan_quantile
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(0, 1, (13, 24)).astype(np.float32)
+        x[3:5, 2] = np.nan
+        x[:, 0] = np.nan  # one all-NaN lane
+        q = np.array([0.1, 0.5, 0.9])
+        oks = []
+        for ab in ((1.0, 1.0), (1 / 3, 1 / 3)):
+            a = np.asarray(axis_quantile_small(x, q, alpha=ab[0], beta=ab[1]))
+            b = np.asarray(nan_quantile(x, np.asarray(q, np.float32), axis=0,
+                                        alpha=ab[0], beta=ab[1],
+                                        _no_pallas=True))
+            oks.append(np.allclose(a, b, rtol=1e-5, atol=1e-5,
+                                   equal_nan=True))
+        ok = all(bool(v) for v in oks)
+        if ok and marker:
+            with open(marker, "w") as f:
+                f.write("ok\n")
+        return ok
+    except Exception:
+        return False
+
+
+def axisquantile_supported() -> bool:
+    """Whether the Pallas small-axis quantile kernel serves this process."""
+    global _AQ_OK
+    if _AQ_OK is None:
+        mode = pallas_mode()
+        if mode == "off":
+            _AQ_OK = False
+        elif mode == "interpret":
+            _AQ_OK = False
+        else:
+            _AQ_OK = _probe_axisquantile()
+    return _AQ_OK
+
+
 def pallas_mode() -> str:
     """Resolve (and cache) the Pallas dispatch mode for this process."""
     global _MODE
@@ -207,12 +261,13 @@ def pallas_mode() -> str:
 
 def set_pallas_mode(mode: str | None) -> None:
     """Override the dispatch mode (``None`` re-enables probing)."""
-    global _MODE, _WQ_OK, _SR_OK
+    global _MODE, _WQ_OK, _SR_OK, _AQ_OK
     if mode is not None and mode not in ("off", "mosaic", "interpret"):
         raise ValueError(f"unknown pallas mode {mode!r}")
     _MODE = mode
     _WQ_OK = None
     _SR_OK = None
+    _AQ_OK = None
 
 
 def mosaic_supported() -> bool:

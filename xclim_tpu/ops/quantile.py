@@ -26,8 +26,8 @@ __all__ = ["nan_quantile", "nan_percentile"]
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("axis", "alpha", "beta"))
-def nan_quantile(x, q, axis: int = -1, alpha: float = 1.0, beta: float = 1.0):
+def nan_quantile(x, q, axis: int = -1, alpha: float = 1.0, beta: float = 1.0,
+                 _no_pallas: bool = False):
     """Compute quantiles along `axis`, skipping NaNs.
 
     Parameters
@@ -41,9 +41,60 @@ def nan_quantile(x, q, axis: int = -1, alpha: float = 1.0, beta: float = 1.0):
     -------
     array with shape q.shape + x.shape-without-axis (quantile axis first,
     matching xclim ``_nan_quantile``).
+
+    Dispatch: short reduce axes (<= 64 samples — ensemble realizations,
+    per-group year slots) with a concrete ``q`` go through the one-pass
+    Pallas sort+select kernel (ops/pallas/axisquantile.py) when the backend
+    compiles it; XLA's short-axis sort is lane-starved on the tunnel backend
+    (~0.4 G elem/s, tools/probe_roofline.py). Everything else takes the
+    sort + one-hot einsum below.
     """
+    out = None if _no_pallas else _pallas_nan_quantile(x, q, axis, alpha, beta)
+    if out is not None:
+        return out
+    return _nan_quantile_xla(x, jnp.asarray(q, jnp.float32).reshape(-1),
+                             axis=axis % jnp.ndim(x), alpha=alpha, beta=beta)
+
+
+def _pallas_nan_quantile(x, q, axis, alpha, beta):
+    """Small-axis Pallas path; None -> caller falls through to XLA."""
+    import numpy as np
+
+    from xclim_tpu.ops.pallas.axisquantile import MAX_AXIS
+
+    if isinstance(q, jax.core.Tracer):
+        return None  # node values must be static for the kernel
+    ndim = jnp.ndim(x)
+    axis = axis % ndim
+    M = x.shape[axis]
+    rest = int(np.prod([s for i, s in enumerate(x.shape) if i != axis],
+                       dtype=np.int64))
+    if not (1 < M <= MAX_AXIS) or rest < 2048:
+        return None
+    if jnp.result_type(x) != jnp.float32:
+        return None
+    from xclim_tpu.ops.pallas.capability import axisquantile_supported
+
+    if not axisquantile_supported():
+        return None
+    from xclim_tpu.ops.pallas.axisquantile import axis_quantile_small
+
+    xf = jnp.moveaxis(x, axis, 0)
+    shape = xf.shape
+    try:
+        out = axis_quantile_small(xf.reshape(M, -1), np.asarray(q),
+                                  alpha=alpha, beta=beta)
+    except Exception:
+        from xclim_tpu.ops.pallas.capability import set_pallas_mode
+
+        set_pallas_mode("off")
+        return None
+    return out.reshape((out.shape[0],) + shape[1:])
+
+
+@functools.partial(jax.jit, static_argnames=("axis", "alpha", "beta"))
+def _nan_quantile_xla(x, q, axis: int, alpha: float, beta: float):
     q = jnp.asarray(q, dtype=jnp.float32).reshape(-1)
-    axis = axis % x.ndim
     # Layout strategy (measured on a real v5e through the tunnel backend):
     #   * sort IN PLACE along `axis` — transposing the reduce axis to the
     #     minor-most position makes the TPU sort lane-starved and the
