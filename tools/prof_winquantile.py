@@ -49,12 +49,91 @@ def _merge_neg(x, p_start, p_end):
     return x
 
 
+def _ce_slice(x, k, p):
+    """Compare-exchange stage k of phase p via STATIC slices (no rolls).
+
+    Pairs (o, o+k) live in disjoint k-row blocks; the sort direction of each
+    2k pair-block is static ((offset & 2p) == 0), so desc blocks just write
+    max/min in swapped order. Only valid for k >= 8 (tile-aligned slices)."""
+    nb = x.shape[0] // (2 * k)
+    pieces = []
+    for b in range(nb):
+        o = b * 2 * k
+        a = jax.lax.slice_in_dim(x, o, o + k, axis=0)
+        c = jax.lax.slice_in_dim(x, o + k, o + 2 * k, axis=0)
+        mn = jnp.minimum(a, c)
+        mx = jnp.maximum(a, c)
+        pieces += [mn, mx] if (o & (2 * p)) == 0 else [mx, mn]
+    return jnp.concatenate(pieces, axis=0)
+
+
+def _phases_hybrid(x, p_start, p_end, kmin):
+    """Merge phases: slice-CE for k >= kmin, roll-CE below."""
+    from xclim_tpu.ops.pallas.winquantile import _ce
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    p = p_start
+    while p <= p_end:
+        asc = (ii & (2 * p)) == 0
+        k = p
+        while k >= 1:
+            if k >= kmin:
+                x = _ce_slice(x, k, p)
+            else:
+                x = _ce(x, k, asc, 0)
+            k //= 2
+        p *= 2
+    return x
+
+
+def _super_stage(x, ks, p, k3):
+    """Fused butterfly stages ks (descending, all >= k3, multiples of k3) of
+    phase p, one VMEM pass: block values stay in registers between stages."""
+    nb = x.shape[0] // k3
+    blocks = [jax.lax.slice_in_dim(x, b * k3, (b + 1) * k3, axis=0)
+              for b in range(nb)]
+    for k in ks:
+        m = k // k3
+        nxt = []
+        for b in range(nb):
+            o = b * k3
+            asc = (o & (2 * p)) == 0
+            low = (b & m) == 0
+            take_min = (low == asc)
+            nxt.append((jnp.minimum if take_min else jnp.maximum)(
+                blocks[b], blocks[b ^ m]))
+        blocks = nxt
+    return jnp.concatenate(blocks, axis=0)
+
+
+def _phases_fused(x, p_start, p_end, k3=8, fuse=3):
+    """Merge phases with k>=k3 stages grouped `fuse` per pass; k<k3 via
+    roll-CE (nested, left to the compiler)."""
+    from xclim_tpu.ops.pallas.winquantile import _ce
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    p = p_start
+    while p <= p_end:
+        ks = []
+        k = p
+        while k >= k3:
+            ks.append(k)
+            k //= 2
+        for i in range(0, len(ks), fuse):
+            x = _super_stage(x, ks[i:i + fuse], p, k3)
+        asc = (ii & (2 * p)) == 0
+        while k >= 1:
+            x = _ce(x, k, asc, 0)
+            k //= 2
+        p *= 2
+    return x
+
+
 def _kernel(x_hbm, out_ref, slab, cnt_ref, arr_ref, sem, *, S, DB, W, Ypad,
             P2, nq, BC, qvals, coffs, mode):
     ci = pl.program_id(0)
     gi = pl.program_id(1)
-    cp = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(gi * DB, S), :, pl.ds(ci * BC, BC)], slab, sem)
+    cp = pltpu.make_async_copy(x_hbm.at[ci, pl.ds(gi * DB, S)], slab, sem)
     cp.start()
     cp.wait()
     raw = slab[...]
@@ -79,6 +158,11 @@ def _kernel(x_hbm, out_ref, slab, cnt_ref, arr_ref, sem, *, S, DB, W, Ypad,
             arr = _bitonic_phases(arr, Ypad, P2 // 2)
         elif mode in ("golf", "golf_full"):
             arr = _merge_neg(arr, Ypad, P2 // 2)
+        elif mode.startswith("slice"):
+            arr = _phases_hybrid(arr, Ypad, P2 // 2, kmin=int(mode[5:]))
+        elif mode.startswith("fuse"):
+            k3, fuse = (int(v) for v in mode[4:].split("_"))
+            arr = _phases_fused(arr, Ypad, P2 // 2, k3=k3, fuse=fuse)
         arr_ref[...] = arr
         nvm1 = jnp.maximum(nv - 1.0, 0.0)
 
@@ -112,60 +196,96 @@ def _kernel(x_hbm, out_ref, slab, cnt_ref, arr_ref, sem, *, S, DB, W, Ypad,
             res = jnp.stack(rows, axis=0)
         else:
             res = jnp.broadcast_to(arr[0:nq], (nq, BC))
-        out_ref[g] = res
+        out_ref[0, g] = res
         return carry
 
     if mode == "dma_only":
-        out_ref[...] = jnp.zeros((DB, nq, BC), jnp.float32)
+        out_ref[...] = jnp.zeros((1, DB, nq, BC), jnp.float32)
+    elif mode.startswith("unroll"):
+        U = int(mode[6:])
+
+        def g_multi(gu, carry):
+            arrs = []
+            nvs = []
+            for u in range(U):
+                g = gu * U + u
+                win = slab[pl.ds(g, W)]
+                nvs.append(jnp.sum(cnt_ref[pl.ds(g, W)], axis=(0, 1)))
+                arr = win.reshape(W * Ypad, BC)
+                if npad:
+                    arr = jnp.concatenate(
+                        [arr, jnp.full((npad, BC), BIG, dtype=arr.dtype)],
+                        axis=0)
+                arrs.append(arr)
+            # interleave the merge stages of U independent groups
+            ii = jax.lax.broadcasted_iota(jnp.int32, arrs[0].shape, 0)
+            from xclim_tpu.ops.pallas.winquantile import _ce
+            p = Ypad
+            while p <= P2 // 2:
+                asc = (ii & (2 * p)) == 0
+                k = p
+                while k >= 1:
+                    arrs = [_ce(a, k, asc, 0) for a in arrs]
+                    k //= 2
+                p *= 2
+            for u in range(U):
+                out_ref[0, gu * U + u] = jnp.broadcast_to(
+                    arrs[u][0:nq] + nvs[u][None, :] * 0.0, (nq, BC))
+            return carry
+
+        jax.lax.fori_loop(0, DB // U, g_multi, 0)
     else:
         jax.lax.fori_loop(0, DB, g_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("q_tuple", "window", "nq", "db",
-                                             "mode"))
-def _call(xgp, *, q_tuple, window, nq, db, mode):
-    ngDB_2h, Ypad, Cp = xgp.shape
+                                             "bc", "mode"))
+def _call(xb, *, q_tuple, window, nq, db, bc, mode):
+    nc, G2, Ypad, BC = xb.shape
     half = window // 2
     S = db + 2 * half
-    ngrid = (ngDB_2h - 2 * half) // db
-    nc = Cp // _LANES
+    ngrid = (G2 - 2 * half) // db
     P2 = _pow2(window * Ypad)
     qvals = tuple(float(np.float32(v)) for v in q_tuple)
     coffs = tuple(float(np.float32(np.float32(v) * np.float32(-1.0))
                         + np.float32(1.0)) for v in qvals)
     kernel = functools.partial(
-        _kernel, S=S, DB=db, W=window, Ypad=Ypad, P2=P2, nq=nq, BC=_LANES,
+        _kernel, S=S, DB=db, W=window, Ypad=Ypad, P2=P2, nq=nq, BC=bc,
         qvals=qvals, coffs=coffs, mode=mode)
     return pl.pallas_call(
         kernel,
         grid=(nc, ngrid),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((db, nq, _LANES), lambda ci, gi: (gi, 0, ci)),
-        out_shape=jax.ShapeDtypeStruct((ngrid * db, nq, Cp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((S, Ypad, _LANES), jnp.float32),
-                        pltpu.VMEM((S, 1, _LANES), jnp.float32),
-                        pltpu.VMEM((P2, _LANES), jnp.float32),
+        out_specs=pl.BlockSpec((1, db, nq, bc), lambda ci, gi: (ci, gi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nc, ngrid * db, nq, bc), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((S, Ypad, bc), jnp.float32),
+                        pltpu.VMEM((S, 1, bc), jnp.float32),
+                        pltpu.VMEM((P2, bc), jnp.float32),
                         pltpu.SemaphoreType.DMA],
-    )(xgp)
+    )(xb)
 
 
 def main():
     C = 4096
     n_doy, Y, W = 365, 30, 31
-    Ypad, db = 32, 64
+    Ypad = 32
     half = W // 2
-    ngrid = -(-n_doy // db)
     rng = np.random.default_rng(0)
     xg = (rng.normal(285, 5, (n_doy, Ypad, C))).astype(np.float32)
-    head, tail = xg[n_doy - half:], xg[:half]
-    extra = ngrid * db - n_doy
-    parts = [head, xg, tail,
-             np.full((extra, Ypad, C), BIG, np.float32)]
-    xgp = jnp.asarray(np.concatenate(parts, axis=0))
     q = tuple(np.linspace(0.01, 0.99, 50))
 
-    def med(mode, reps=5):
-        f = lambda: _call(xgp, q_tuple=q, window=W, nq=50, db=db, mode=mode)
+    def med(mode, db, bc, reps=5):
+        ngrid = -(-n_doy // db)
+        G2 = ngrid * db + 2 * half
+        nc = C // bc
+        head, tail = xg[n_doy - half:], xg[:half]
+        parts = [head, xg, tail,
+                 np.full((ngrid * db - n_doy, Ypad, C), BIG, np.float32)]
+        xgp = np.concatenate(parts, axis=0)
+        xb = jnp.asarray(np.moveaxis(
+            xgp.reshape(G2, Ypad, nc, bc), 2, 0).copy())
+        f = lambda: _call(xb, q_tuple=q, window=W, nq=50, db=db, bc=bc,
+                          mode=mode)
         r = f(); float(jnp.ravel(r)[0])
         ts = []
         for _ in range(reps):
@@ -173,12 +293,15 @@ def main():
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
-    for mode in ("no_select", "golf", "full", "golf_full"):
+    import itertools
+    cases = [("no_select", 64, 128), ("unroll2", 64, 128),
+             ("unroll4", 64, 128), ("unroll8", 64, 128)]
+    for mode, db, bc in cases:
         try:
-            t = med(mode)
-            print(f"{mode:10s}: {t*1e3:8.1f} ms")
+            t = med(mode, db, bc)
+            print(f"{mode:10s} db={db:3d} bc={bc:3d}: {t*1e3:8.1f} ms")
         except Exception as e:
-            print(f"{mode:10s}: ERROR {str(e)[:120]}")
+            print(f"{mode:10s} db={db:3d} bc={bc:3d}: ERROR {str(e)[:100]}")
 
 
 if __name__ == "__main__":

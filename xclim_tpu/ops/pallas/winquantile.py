@@ -108,8 +108,11 @@ def _kernel(x_hbm, out_ref, slab, cnt_ref, arr_ref, sem, *, S, DB, W, Ypad,
 
     ci = pl.program_id(0)
     gi = pl.program_id(1)
-    cp = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(gi * DB, S), :, pl.ds(ci * BC, BC)], slab, sem)
+    # x_hbm is lane-blocked host-side to (nc, G2, Ypad, BC): the slab copy is
+    # one CONTIGUOUS ~1.5 MB transfer. The round-2 unblocked layout sliced
+    # (S, Ypad, BC) out of (G2, Ypad, C) — 512 B strided chunks that ran the
+    # whole kernel at ~14 GB/s effective (tools/prof_winquantile.py dma_only).
+    cp = pltpu.make_async_copy(x_hbm.at[ci, pl.ds(gi * DB, S)], slab, sem)
     cp.start()
     cp.wait()
 
@@ -224,7 +227,7 @@ def _kernel(x_hbm, out_ref, slab, cnt_ref, arr_ref, sem, *, S, DB, W, Ypad,
                 None)
         # all-missing lanes select the BIG sentinel; the host wrapper maps
         # >= BIG/2 back to NaN (no NaN literals in-kernel)
-        out_ref[g] = res
+        out_ref[0, g] = res
         return carry
 
     jax.lax.fori_loop(0, DB, g_body, 0)
@@ -247,6 +250,10 @@ def _call(xgp, *, q_tuple, window, nq, alpha, beta, db, interpret=False):
     coffs = tuple(float(np.float32(np.float32(v) * np.float32(1 - alpha - beta))
                         + np.float32(alpha)) for v in qvals)
 
+    # lane-blocked layouts on both sides: (nc, G2, Ypad, BC) in,
+    # (nc, ngrid*db, nq, BC) out — every kernel DMA/write is contiguous
+    xb = jnp.moveaxis(
+        xgp.reshape(ngDB_2h, Ypad, nc, _LANES), 2, 0)
     kernel = functools.partial(
         _kernel, S=S, DB=db, W=window, Ypad=Ypad, P2=P2, nq=nq, BC=_LANES,
         qvals=qvals, coffs=coffs, alpha=alpha, beta=beta)
@@ -254,16 +261,17 @@ def _call(xgp, *, q_tuple, window, nq, alpha, beta, db, interpret=False):
         kernel,
         grid=(nc, ngrid),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((db, nq, _LANES),
-                               lambda ci, gi: (gi, 0, ci)),
-        out_shape=jax.ShapeDtypeStruct((ngrid * db, nq, Cp), jnp.float32),
+        out_specs=pl.BlockSpec((1, db, nq, _LANES),
+                               lambda ci, gi: (ci, gi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nc, ngrid * db, nq, _LANES),
+                                       jnp.float32),
         scratch_shapes=[pltpu.VMEM((S, Ypad, _LANES), jnp.float32),
                         pltpu.VMEM((S, 1, _LANES), jnp.float32),
                         pltpu.VMEM((P2, _LANES), jnp.float32),
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,
-    )(xgp)
-    return out
+    )(xb)
+    return jnp.moveaxis(out, 0, 2).reshape(ngrid * db, nq, Cp)
 
 
 def doy_window_quantiles(xg, q, window: int, alpha: float = 1.0,
