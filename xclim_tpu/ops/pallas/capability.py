@@ -24,7 +24,8 @@ import os
 
 __all__ = ["pallas_mode", "set_pallas_mode", "mosaic_supported",
            "winquantile_supported", "segred_supported",
-           "axisquantile_supported", "dispatch_counts"]
+           "axisquantile_supported", "qdmadjust_supported",
+           "dispatch_counts"]
 
 _MODE: str | None = None
 
@@ -228,6 +229,58 @@ def _probe_axisquantile() -> bool:
         return False
 
 
+_QA_OK: bool | None = None
+
+
+def _probe_qdmadjust() -> bool:
+    """Compile + run the fused QDM-adjust kernel at a tiny shape against the
+    XLA rank+interp path."""
+    marker = _probe_cache_path()
+    marker = marker + "_qa" if marker else None
+    if marker and os.path.exists(marker):
+        return True
+    try:
+        import jax.numpy as jnp
+        import numpy as np
+
+        from xclim_tpu.ops.pallas.qdmadjust import qdm_adjust_doy
+        from xclim_tpu.sdba.utils import grouped_rank, interp_hat_nodes
+
+        rng = np.random.default_rng(0)
+        G, Y, C = 4, 10, 24
+        q = np.linspace(0.05, 0.95, 7).astype(np.float32)
+        xd = rng.normal(5, 3, (G, Y, C)).astype(np.float32)
+        xd[1, 3:5, 2] = np.nan
+        xd[:, :, 0] = np.nan
+        af = np.sort(rng.normal(0, 2, (G, 7, C)).astype(np.float32), axis=1)
+        got = np.asarray(qdm_adjust_doy(xd, af, q, kind="+"))
+        gj = jnp.asarray(xd)
+        nv = jnp.sum(~jnp.isnan(gj), axis=1).astype(jnp.int32)
+        af_v = interp_hat_nodes(grouped_rank(gj, nv), jnp.asarray(q),
+                                jnp.asarray(af))
+        exp = np.asarray(gj + af_v)
+        ok = (np.isnan(got) == np.isnan(exp)).all() and np.allclose(
+            got[~np.isnan(exp)], exp[~np.isnan(exp)], rtol=1e-4, atol=1e-4)
+        if ok and marker:
+            with open(marker, "w") as f:
+                f.write("ok\n")
+        return bool(ok)
+    except Exception:
+        return False
+
+
+def qdmadjust_supported() -> bool:
+    """Whether the fused QDM-adjust kernel serves this process."""
+    global _QA_OK
+    if _QA_OK is None:
+        mode = pallas_mode()
+        if mode in ("off", "interpret"):
+            _QA_OK = False
+        else:
+            _QA_OK = _probe_qdmadjust()
+    return _QA_OK
+
+
 def axisquantile_supported() -> bool:
     """Whether the Pallas small-axis quantile kernel serves this process."""
     global _AQ_OK
@@ -261,13 +314,14 @@ def pallas_mode() -> str:
 
 def set_pallas_mode(mode: str | None) -> None:
     """Override the dispatch mode (``None`` re-enables probing)."""
-    global _MODE, _WQ_OK, _SR_OK, _AQ_OK
+    global _MODE, _WQ_OK, _SR_OK, _AQ_OK, _QA_OK
     if mode is not None and mode not in ("off", "mosaic", "interpret"):
         raise ValueError(f"unknown pallas mode {mode!r}")
     _MODE = mode
     _WQ_OK = None
     _SR_OK = None
     _AQ_OK = None
+    _QA_OK = None
 
 
 def mosaic_supported() -> bool:

@@ -167,6 +167,24 @@ def _qdm_adjust_core(xf, table, flat_pos, af, q, *, kind, interp,
     return flat[flat_pos]
 
 
+@functools.partial(jax.jit, static_argnames=("q_tuple", "kind"))
+def _qdm_adjust_core_doy(xf, table, flat_pos, af, *, q_tuple, kind):
+    """QDM adjust on the fused Pallas rank+interp kernel
+    (ops/pallas/qdmadjust.py) — one VMEM pass per doy block instead of the
+    (G, ms, nq, C) one-hot materialization of _qdm_adjust_core."""
+    from xclim_tpu.ops.pallas.qdmadjust import qdm_adjust_doy
+
+    sshape = xf.shape[1:]
+    xd = gather_groups(xf, table)                  # (G, ms, ...space)
+    xd2 = xd.reshape(xd.shape[:2] + (-1,))
+    af2 = af.reshape(af.shape[:2] + (-1,))
+    out_d = qdm_adjust_doy(xd2, af2, np.asarray(q_tuple, np.float32),
+                           kind=kind)
+    flat = out_d.reshape((-1,) + out_d.shape[2:])
+    out = flat[flat_pos]
+    return out.reshape((out.shape[0],) + sshape)
+
+
 @functools.partial(jax.jit, static_argnames=("kind", "interp",
                                              "extrapolation"))
 def _dqm_adjust_core(xf, V, gid, table, flat_pos, hist_q, af, scaling, *,
@@ -331,9 +349,19 @@ class QuantileDeltaMapping(TrainAdjust):
         table, gid, flat_pos = self.group.device_adjust_table(sim.time)
         ax = sim.time_axis
         xf = jnp.moveaxis(sim.data, ax, 0)
-        q = jnp.asarray(np.asarray(self.ds["quantiles"], dtype=np.float32))
-        out = _qdm_adjust_core(xf, table, flat_pos, self.ds["af"], q,
-                               kind=self.kind, interp=interp,
+        qn = np.asarray(self.ds["quantiles"], dtype=np.float32)
+        if (interp == "linear" and extrapolation == "constant"
+                and self.kind in ("+", "*") and table.shape[1] <= 64
+                and jnp.result_type(xf) == jnp.float32):
+            from xclim_tpu.ops.pallas.capability import qdmadjust_supported
+
+            if qdmadjust_supported():
+                out = _qdm_adjust_core_doy(
+                    xf, table, flat_pos, self.ds["af"],
+                    q_tuple=tuple(float(v) for v in qn), kind=self.kind)
+                return sim.copy(data=jnp.moveaxis(out, 0, ax))
+        out = _qdm_adjust_core(xf, table, flat_pos, self.ds["af"],
+                               jnp.asarray(qn), kind=self.kind, interp=interp,
                                extrapolation=extrapolation)
         return sim.copy(data=jnp.moveaxis(out, 0, ax))
 
