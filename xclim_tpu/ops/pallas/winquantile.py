@@ -93,6 +93,159 @@ def _bitonic_phases(x, p_start, p_end, axis=0, flip=None):
     return x
 
 
+def _kernel_dyadic(x_hbm, out_ref, slab, cnt_ref, l8, l16, arr_ref, sem, *,
+                   S, DB, W, Ypad, P2, nq, BC, qvals, coffs, alpha, beta):
+    """W=31 fast path: cached dyadic runs instead of a full per-group merge.
+
+    The full bitonic merge re-sorts every group's 31x Ypad window from
+    Ypad-runs: 40 compare-exchange stages over P2 rows per group, and the VPU
+    is issue-bound on exactly those stages (tools/prof_winquantile.py: slice/
+    fused/unrolled variants all within 5%). This path cuts the row-stages
+    ~0.6x by precomputing, once per slab:
+
+      l8[t]  = slices [8t, 8t+8)  merged DESC   (oct runs)
+      l16[m] = slices [16m, 16m+16) merged DESC (16-runs)
+
+    and covering every window [g, g+31) as {7 singles} + {one aligned oct}
+    + {one aligned 16-run} by scalar arithmetic alone:
+
+      A16 = 16*ceil(g/16); L = A16 - g; h = L & 7
+      single_i at slice g + i + (0 if i < h else 24),  i = 0..6
+      oct at A16-8 (head, L>=8) else A16+16 (tail)
+      mid16 at A16
+
+    The merges then need only the tail phases: singles -> 8Ypad (asc), +oct
+    -> 16Ypad, +mid16 -> 32Ypad. DESC-stored runs make each concat bitonic
+    with no reversal (Mosaic cannot lower `rev`); direction costs nothing —
+    it is just the final-phase mask at build time. Output equals the full
+    merge exactly (same sorted array, same selection)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ci = pl.program_id(0)
+    gi = pl.program_id(1)
+    cp = pltpu.make_async_copy(x_hbm.at[ci, pl.ds(gi * DB, S)], slab, sem)
+    cp.start()
+    cp.wait()
+
+    raw = slab[...]
+    cnt_ref[...] = jnp.sum((raw < BIG * 0.5).astype(jnp.float32), axis=1,
+                           keepdims=True)
+    srow = jax.lax.broadcasted_iota(jnp.int32, (S, Ypad, BC), 0)
+    slab[...] = _bitonic_phases(raw, 1, Ypad // 2, axis=1,
+                                flip=(srow & 1) == 1)
+
+    NOCT = S // 8
+    N16 = S // 16
+    allflip8 = jnp.ones((NOCT, 8 * Ypad, BC), bool)
+    l8[...] = _bitonic_phases(
+        slab[0:NOCT * 8].reshape(NOCT, 8 * Ypad, BC), Ypad, 4 * Ypad,
+        axis=1, flip=allflip8)
+    allflip16 = jnp.ones((N16, 16 * Ypad, BC), bool)
+    l16[...] = _bitonic_phases(
+        slab[0:N16 * 16].reshape(N16, 16 * Ypad, BC), Ypad, 8 * Ypad,
+        axis=1, flip=allflip16)
+
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (P2, BC), 0)
+
+    def g_body(g, carry):
+        nv = jnp.sum(cnt_ref[pl.ds(g, W)], axis=(0, 1))   # (BC,)
+        A16 = ((g + 15) // 16) * 16
+        L = A16 - g
+        h = L & 7
+        parts = []
+        for i in range(7):
+            s_i = g + i + jnp.where(i < h, 0, 24)
+            parts.append(slab[pl.ds(s_i, 1)].reshape(Ypad, BC))
+        parts.append(jnp.full((Ypad, BC), BIG, dtype=jnp.float32))
+        A = _bitonic_phases(jnp.concatenate(parts, axis=0), Ypad, 4 * Ypad)
+        osl = jnp.where(L >= 8, A16 - 8, A16 + 16)
+        oct_run = l8[pl.ds(osl // 8, 1)].reshape(8 * Ypad, BC)
+        B = _bitonic_phases(jnp.concatenate([A, oct_run], axis=0),
+                            8 * Ypad, 8 * Ypad)
+        m16 = l16[pl.ds(A16 // 16, 1)].reshape(16 * Ypad, BC)
+        arr = _bitonic_phases(jnp.concatenate([B, m16], axis=0),
+                              16 * Ypad, 16 * Ypad)
+        arr_ref[...] = arr
+        out_ref[0, g] = _select_nodes(arr, arr_ref, iota_r, nv, P2, nq, BC,
+                                      qvals, coffs)
+        return carry
+
+    jax.lax.fori_loop(0, DB, g_body, 0)
+
+
+def _select_nodes(arr, arr_ref, iota_r, nv, P2, nq, BC, qvals, coffs):
+    """Hyndman-Fan node selection from the sorted window (shared by both
+    merge paths): uniform / windowed-fast / full, picked by valid-count
+    spread."""
+    from jax.experimental import pallas as pl
+
+    nvm1 = jnp.maximum(nv - 1.0, 0.0)
+
+    def node_ranks(j):
+        h = jnp.clip((nv * qvals[j] + coffs[j]) - 1.0, 0.0, nvm1)
+        k0 = jnp.floor(h).astype(jnp.int32)
+        gam = h - k0.astype(jnp.float32)
+        k1 = jnp.minimum(k0 + 1, nvm1.astype(jnp.int32))
+        return k0, k1, gam
+
+    def select(seg, seg_iota, j):
+        k0, k1, gam = node_ranks(j)
+        sel0 = (seg_iota == k0[None, :]).astype(seg.dtype)
+        sel1 = (seg_iota == k1[None, :]).astype(seg.dtype)
+        v0 = jnp.sum(seg * sel0, axis=0)
+        v1 = jnp.sum(seg * sel1, axis=0)
+        return v0 * (1.0 - gam) + v1 * gam
+
+    nmin = jnp.min(nv)
+    nmax = jnp.max(nv)
+    wsel = min(_WSEL, P2)
+
+    def uniform(_):
+        nvb = jnp.broadcast_to(nmin.reshape(1, 1), (1, BC))
+        nvm1b = jnp.maximum(nvb - 1.0, 0.0)
+        rows = []
+        for j in range(nq):
+            h = jnp.clip((nvb * qvals[j] + coffs[j]) - 1.0, 0.0, nvm1b)
+            k0 = jnp.floor(h).astype(jnp.int32)
+            gam = h - k0.astype(jnp.float32)
+            k1 = jnp.minimum(k0 + 1, nvm1b.astype(jnp.int32))
+            base = jnp.clip(k0[0, 0] & ~7, 0, P2 - 16)
+            base = pl.multiple_of(base, 8)
+            seg = arr_ref[pl.ds(base, 16)]
+            ii = (jax.lax.broadcasted_iota(jnp.int32, (16, BC), 0) + base)
+            sel0 = (ii == k0).astype(seg.dtype)
+            sel1 = (ii == k1).astype(seg.dtype)
+            v0 = jnp.sum(seg * sel0, axis=0)
+            v1 = jnp.sum(seg * sel1, axis=0)
+            rows.append(v0 * (1.0 - gam[0]) + v1 * gam[0])
+        return jnp.stack(rows, axis=0)
+
+    def fast(_):
+        rows = []
+        for j in range(nq):
+            start = (jnp.floor((nmin * qvals[j] + coffs[j]) - 1.0)
+                     .astype(jnp.int32) - 8)
+            start = pl.multiple_of(jnp.clip(start, 0, P2 - wsel) & ~7, 8)
+            seg = arr_ref[pl.ds(start, wsel)]
+            seg_iota = (jax.lax.broadcasted_iota(jnp.int32, (wsel, BC), 0)
+                        + start)
+            rows.append(select(seg, seg_iota, j))
+        return jnp.stack(rows, axis=0)
+
+    def full(_):
+        rows = [select(arr, iota_r, j) for j in range(nq)]
+        return jnp.stack(rows, axis=0)
+
+    if wsel - 24 <= 0:
+        return full(None)
+    return jax.lax.cond(
+        nmax == nmin, uniform,
+        lambda _: jax.lax.cond(
+            nmax - nmin <= jnp.float32(wsel - 24), fast, full, None),
+        None)
+
+
 def _kernel(x_hbm, out_ref, slab, cnt_ref, arr_ref, sem, *, S, DB, W, Ypad,
             P2, nq, BC, qvals, coffs, alpha, beta):
     """x_hbm: (ngDB+2h, Ypad, C) in HBM; out block (DB, nq, BC).
@@ -145,89 +298,10 @@ def _kernel(x_hbm, out_ref, slab, cnt_ref, arr_ref, sem, *, S, DB, W, Ypad,
                 [arr, jnp.full((npad, BC), BIG, dtype=arr.dtype)], axis=0)
         arr = _bitonic_phases(arr, Ypad, P2 // 2)     # merge 32-runs -> P2
         arr_ref[...] = arr
-
-        # Hyndman-Fan per-lane fractional ranks for each node
-        nvm1 = jnp.maximum(nv - 1.0, 0.0)
-
-        def node_ranks(j):
-            # identical fp sequencing to ops.quantile.nan_quantile:
-            # h = n*q + (q*(1-a-b)+a), then -1.0 as a separate op
-            h = jnp.clip((nv * qvals[j] + coffs[j]) - 1.0, 0.0, nvm1)
-            k0 = jnp.floor(h).astype(jnp.int32)
-            gam = h - k0.astype(jnp.float32)
-            k1 = jnp.minimum(k0 + 1, nvm1.astype(jnp.int32))
-            return k0, k1, gam
-
-        def select(seg, seg_iota, j):
-            k0, k1, gam = node_ranks(j)
-            sel0 = (seg_iota == k0[None, :]).astype(seg.dtype)
-            sel1 = (seg_iota == k1[None, :]).astype(seg.dtype)
-            v0 = jnp.sum(seg * sel0, axis=0)
-            v1 = jnp.sum(seg * sel1, axis=0)
-            # same fp expression as ops.quantile.nan_quantile's one-hot
-            # contraction: v0*(1-g) + v1*g (NOT v0 + g*(v1-v0))
-            return v0 * (1.0 - gam) + v1 * gam
-
-        nmin = jnp.min(nv)
-        nmax = jnp.max(nv)
-        wsel = min(_WSEL, P2)
-
-        def uniform(_):
-            # every lane in the block has the same valid count (the no-NaN
-            # common case): all ranks are block-scalars, so each node needs
-            # only a 16-row aligned read around k0 (4x the wsel=64 fast
-            # path).  The rank math runs on (1, BC) broadcasts of the scalar
-            # count so the fp sequencing is bit-identical to the lane-wise
-            # paths.
-            nvb = jnp.broadcast_to(nmin.reshape(1, 1), (1, BC))
-            nvm1b = jnp.maximum(nvb - 1.0, 0.0)
-            rows = []
-            for j in range(nq):
-                h = jnp.clip((nvb * qvals[j] + coffs[j]) - 1.0, 0.0, nvm1b)
-                k0 = jnp.floor(h).astype(jnp.int32)
-                gam = h - k0.astype(jnp.float32)
-                k1 = jnp.minimum(k0 + 1, nvm1b.astype(jnp.int32))
-                base = jnp.clip(k0[0, 0] & ~7, 0, P2 - 16)
-                base = pl.multiple_of(base, 8)
-                seg = arr_ref[pl.ds(base, 16)]
-                ii = (jax.lax.broadcasted_iota(jnp.int32, (16, BC), 0)
-                      + base)
-                sel0 = (ii == k0).astype(seg.dtype)
-                sel1 = (ii == k1).astype(seg.dtype)
-                v0 = jnp.sum(seg * sel0, axis=0)
-                v1 = jnp.sum(seg * sel1, axis=0)
-                rows.append(v0 * (1.0 - gam[0]) + v1 * gam[0])
-            return jnp.stack(rows, axis=0)
-
-        def fast(_):
-            # all lanes' ranks for node j sit within a wsel window anchored
-            # at the block-min count
-            rows = []
-            for j in range(nq):
-                start = (jnp.floor((nmin * qvals[j] + coffs[j]) - 1.0)
-                         .astype(jnp.int32) - 8)
-                start = pl.multiple_of(jnp.clip(start, 0, P2 - wsel) & ~7, 8)
-                seg = arr_ref[pl.ds(start, wsel)]
-                seg_iota = (jax.lax.broadcasted_iota(jnp.int32, (wsel, BC), 0)
-                            + start)
-                rows.append(select(seg, seg_iota, j))
-            return jnp.stack(rows, axis=0)
-
-        def full(_):
-            rows = [select(arr, iota_r, j) for j in range(nq)]
-            return jnp.stack(rows, axis=0)
-
-        if wsel - 24 <= 0:
-            res = full(None)
-        else:
-            res = jax.lax.cond(
-                nmax == nmin, uniform,
-                lambda _: jax.lax.cond(
-                    nmax - nmin <= jnp.float32(wsel - 24), fast, full, None),
-                None)
         # all-missing lanes select the BIG sentinel; the host wrapper maps
         # >= BIG/2 back to NaN (no NaN literals in-kernel)
-        out_ref[0, g] = res
+        out_ref[0, g] = _select_nodes(arr, arr_ref, iota_r, nv, P2, nq, BC,
+                                      qvals, coffs)
         return carry
 
     jax.lax.fori_loop(0, DB, g_body, 0)
@@ -254,8 +328,18 @@ def _call(xgp, *, q_tuple, window, nq, alpha, beta, db, interpret=False):
     # (nc, ngrid*db, nq, BC) out — every kernel DMA/write is contiguous
     xb = jnp.moveaxis(
         xgp.reshape(ngDB_2h, Ypad, nc, _LANES), 2, 0)
+    scratch = [pltpu.VMEM((S, Ypad, _LANES), jnp.float32),
+               pltpu.VMEM((S, 1, _LANES), jnp.float32)]
+    if window == 31:
+        kern_fn = _kernel_dyadic
+        scratch += [pltpu.VMEM((S // 8, 8 * Ypad, _LANES), jnp.float32),
+                    pltpu.VMEM((S // 16, 16 * Ypad, _LANES), jnp.float32)]
+    else:
+        kern_fn = _kernel
+    scratch += [pltpu.VMEM((P2, _LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA]
     kernel = functools.partial(
-        _kernel, S=S, DB=db, W=window, Ypad=Ypad, P2=P2, nq=nq, BC=_LANES,
+        kern_fn, S=S, DB=db, W=window, Ypad=Ypad, P2=P2, nq=nq, BC=_LANES,
         qvals=qvals, coffs=coffs, alpha=alpha, beta=beta)
     out = pl.pallas_call(
         kernel,
@@ -265,10 +349,7 @@ def _call(xgp, *, q_tuple, window, nq, alpha, beta, db, interpret=False):
                                lambda ci, gi: (ci, gi, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((nc, ngrid * db, nq, _LANES),
                                        jnp.float32),
-        scratch_shapes=[pltpu.VMEM((S, Ypad, _LANES), jnp.float32),
-                        pltpu.VMEM((S, 1, _LANES), jnp.float32),
-                        pltpu.VMEM((P2, _LANES), jnp.float32),
-                        pltpu.SemaphoreType.DMA],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(xb)
     return jnp.moveaxis(out, 0, 2).reshape(ngrid * db, nq, Cp)
@@ -293,6 +374,8 @@ def doy_window_quantiles(xg, q, window: int, alpha: float = 1.0,
     qs = np.asarray(q, dtype=np.float64).reshape(-1)
     nq = len(qs)
     Ypad = max(8, _pow2(Y))
+    if window == 31 and db > 48:
+        db = 48  # dyadic path carries l8/l16 scratch: db=64 tops 16M VMEM
     db = min(db, _pow2(n_doy))
     ngrid = -(-n_doy // db)
     Cp = -(-C // _LANES) * _LANES
