@@ -461,11 +461,19 @@ def bench_all():
                ("tx90p bootstrap", cfg_bootstrap),
                ("QDM", cfg_qdm),
                ("ensembles", cfg_ensembles)]
+    import gc
+
     for name, fn in configs:
         try:
             results.append(fn())
         except Exception as e:
             results.append({"config": name, "error": str(e)[:160]})
+        # drop every cached executable + its embedded constants between
+        # configs — the round-3 kernel set made the 448x448 configs leave
+        # multi-GB constant buffers alive through climjit caches, OOMing
+        # the later configs (r3 sweep: RESOURCE_EXHAUSTED on bootstrap/QDM)
+        jax.clear_caches()
+        gc.collect()
 
     results.append({"config": "spell engine",
                     "pallas_mode": pallas_mode(),

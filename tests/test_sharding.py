@@ -116,3 +116,63 @@ class TestDryrunMultichip:
         assert "DRYRUN_OK" in r.stdout
         for name in ("tx90p", "qdm", "ensemble_percentiles"):
             assert f"pipeline {name}: OK" in r.stdout, r.stdout
+
+
+class TestPadToMesh:
+    def test_uneven_lat_padding(self, mesh):
+        from xclim_tpu.parallel.sharding import pad_to_mesh
+
+        la, lo = mesh.devices.shape
+        ny, nx = 3 * la + 1, 2 * lo
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            0, 1, (5, ny, nx)).astype(np.float32))
+        padded, unpad = pad_to_mesh(x, mesh)
+        assert padded.shape[-2] % la == 0 and padded.shape[-1] % lo == 0
+        assert bool(jnp.isnan(padded[..., ny:, :]).all())
+        np.testing.assert_array_equal(np.asarray(unpad(padded)),
+                                      np.asarray(x))
+
+    def test_already_divisible_noop(self, mesh):
+        from xclim_tpu.parallel.sharding import pad_to_mesh
+
+        la, lo = mesh.devices.shape
+        x = jnp.zeros((2, 4 * la, 4 * lo))
+        padded, unpad = pad_to_mesh(x, mesh)
+        assert padded is x
+
+    def test_sharded_compute_matches(self, mesh):
+        from xclim_tpu.parallel.sharding import pad_to_mesh
+
+        la, lo = mesh.devices.shape
+        ny, nx = 3 * la + 2, 2 * lo
+        x = jnp.asarray(np.random.default_rng(1).normal(
+            5, 2, (7, ny, nx)).astype(np.float32))
+        padded, unpad = pad_to_mesh(x, mesh)
+        sh = NamedSharding(mesh, P(None, "lat", "lon"))
+        xd = jax.device_put(padded, sh)
+        out = unpad(jax.jit(lambda a: a.sum(axis=0),
+                            in_shardings=sh)(xd))
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(x.sum(axis=0)), rtol=1e-6)
+
+
+class TestShardedJitCache:
+    def test_jitted_callable_built_once(self, mesh):
+        from xclim_tpu.parallel import sharded_jit
+
+        calls = []
+
+        def step(x):
+            calls.append(1)  # python body runs only while tracing
+            return x * 2
+
+        f = sharded_jit(step, mesh)
+        a = jnp.ones((4, 8, 8))
+        f(a)
+        f(a + 1)
+        f(a + 2)
+        assert len(calls) == 1, "sharded_jit must reuse one jitted callable"
+        # a different rank builds (and caches) a second program
+        f(jnp.ones((8, 8)))
+        f(jnp.zeros((8, 8)))
+        assert len(calls) == 2

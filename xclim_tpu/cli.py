@@ -38,8 +38,41 @@ def _process_indicator(ctx, ind, **params):
         ctx.obj["ds_in"] = open_dataset(ctx.obj["input"])
     ds = ctx.obj["ds_in"]
     kwargs = {k: v for k, v in params.items() if v is not None}
+    if ctx.obj.get("fused"):
+        # defer: the whole chain compiles into ONE XLA program at the end
+        # (amortizes the per-dispatch floor across the chain — the TPU
+        # answer to the reference's dask graph merging, xclim:cli.py:363-389)
+        ctx.obj.setdefault("pending", []).append((ind, kwargs))
+        return
     out = ind(ds=ds, **kwargs)
     outs = out if isinstance(out, tuple) else (out,)
+    ds_out = ctx.obj.setdefault("ds_out", ClimDataset())
+    for o in outs:
+        ds_out[o.name] = o
+
+
+def _run_fused(ctx):
+    """Execute every deferred indicator of a --fused chain in one jitted
+    program; falls back to per-indicator eager execution if the chain is
+    not jointly traceable."""
+    from xclim_tpu import climjit
+
+    pending = ctx.obj.get("pending") or []
+    if not pending:
+        return
+    ds = ctx.obj["ds_in"]
+
+    def chain(d):
+        outs = []
+        for ind, kwargs in pending:
+            o = ind(ds=d, **kwargs)
+            outs.extend(o if isinstance(o, tuple) else (o,))
+        return tuple(outs)
+
+    try:
+        outs = climjit(chain)(ds)
+    except Exception:
+        outs = chain(ds)
     ds_out = ctx.obj.setdefault("ds_out", ClimDataset())
     for o in outs:
         ds_out[o.name] = o
@@ -189,16 +222,21 @@ class XclimCli(click.Group):
 @click.option("-o", "--output", help="Output NetCDF file.")
 @click.option("--shard/--no-shard", default=False,
               help="Shard the spatial grid over the local jax device mesh.")
+@click.option("--fused/--no-fused", default=False,
+              help="Compile the whole indicator chain into one XLA program "
+                   "(one device dispatch for the full chain).")
 @click.pass_context
-def cli(ctx, input, output, shard):  # noqa: A002
+def cli(ctx, input, output, shard, fused):  # noqa: A002
     """Command-line interface of xclim_tpu (xclim:cli.py:430)."""
-    ctx.obj = {"input": input, "output": output, "shard": shard}
+    ctx.obj = {"input": input, "output": output, "shard": shard,
+               "fused": fused}
 
 
 @cli.result_callback()
 @click.pass_context
-def write_file(ctx, results, input, output, shard):  # noqa: A002
+def write_file(ctx, results, input, output, shard, fused):  # noqa: A002
     """Write the merged output dataset (xclim:cli.py:486)."""
+    _run_fused(ctx)
     if output and ctx.obj.get("ds_out") is not None:
         from xclim_tpu.io import to_netcdf
 
