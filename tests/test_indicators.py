@@ -290,3 +290,36 @@ class TestMissingBehavior:
         assert not np.isnan(np.asarray(out_feb.data)[0])
         out_jan = atmos.tg_mean(tas, freq="YS", month=[1])
         assert np.isnan(np.asarray(out_jan.data)[0])
+
+
+class TestDictBatchApply:
+    """One indicator across a dict of datasets in a single call — the
+    analogue of the reference's DataTree mapping
+    (xclim:core/indicator.py:858-877): results keyed like the input,
+    empty/None nodes pass through, outputs are datasets."""
+
+    def test_batch_over_dict(self):
+        from xclim_tpu.testing.helpers import generate_atmos
+
+        nodes = {"cityA": generate_atmos(seed=1, nyears=1),
+                 "cityB": generate_atmos(seed=2, nyears=1),
+                 "empty": None}
+        out = atmos.tg_mean(ds=nodes, freq="YS")
+        assert set(out) == {"cityA", "cityB", "empty"}
+        assert out["empty"] is None
+        for key in ("cityA", "cityB"):
+            assert isinstance(out[key], ClimDataset)
+            assert "tg_mean" in out[key]
+            ref = atmos.tg_mean(ds=nodes[key], freq="YS")
+            np.testing.assert_array_equal(
+                np.asarray(out[key]["tg_mean"].values),
+                np.asarray(ref.values))
+
+    def test_batch_results_differ_by_node(self):
+        from xclim_tpu.testing.helpers import generate_atmos
+
+        nodes = {"a": generate_atmos(seed=3, nyears=1),
+                 "b": generate_atmos(seed=4, nyears=1)}
+        out = atmos.tg_mean(ds=nodes, freq="YS")
+        assert not np.allclose(np.asarray(out["a"]["tg_mean"].values),
+                               np.asarray(out["b"]["tg_mean"].values))

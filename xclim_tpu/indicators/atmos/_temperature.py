@@ -75,6 +75,9 @@ __all__ = [
     "ice_days",
     "last_spring_frost",
     "max_daily_temperature_range",
+    "consecutive_frost_days",
+    "consecutive_frost_free_days",
+    "daily_freezethaw_cycles",
     "maximum_consecutive_frost_days",
     "maximum_consecutive_frost_free_days",
     "maximum_consecutive_tx_days",
@@ -477,6 +480,10 @@ maximum_consecutive_frost_days = Temp(
     compute=indices.maximum_consecutive_frost_days,
 )
 
+# reference module-attribute names (xclim:indicators/atmos/_temperature.py:1078
+# exposes these under the identifier names)
+consecutive_frost_days = maximum_consecutive_frost_days
+
 maximum_consecutive_frost_free_days = Temp(
     identifier="consecutive_frost_free_days",
     title="Maximum consecutive frost-free days",
@@ -487,6 +494,8 @@ maximum_consecutive_frost_free_days = Temp(
                 "temperature at or above {thresh}.",
     compute=indices.maximum_consecutive_frost_free_days,
 )
+
+consecutive_frost_free_days = maximum_consecutive_frost_free_days
 
 maximum_consecutive_tx_days = Temp(
     identifier="maximum_consecutive_tx_days",
@@ -1007,6 +1016,10 @@ dlyfrzthw = TempWithIndexing(
                 "op_tasmax": {"default": ">"},
                 "op_tasmin": {"default": "<="}},
 )
+
+# reference module-attribute name for the dlyfrzthw indicator
+# (xclim:indicators/atmos/_temperature.py:721)
+daily_freezethaw_cycles = dlyfrzthw
 
 freezethaw_spell_frequency = Temp(
     identifier="freezethaw_spell_frequency",

@@ -98,8 +98,8 @@ def tx_min(tasmax: ClimArray, freq: str = "YS") -> ClimArray:
 
 
 @declare_units(tasmax="[temperature]", thresh="[temperature]")
-def hot_days(tasmax: ClimArray, thresh: str = "30 degC", freq: str = "YS") -> ClimArray:
-    """Number of days with tasmax > thresh (xclim:_simple.py:334)."""
+def hot_days(tasmax: ClimArray, thresh: str = "25 degC", freq: str = "YS") -> ClimArray:
+    """Number of days with tasmax > thresh (xclim:_simple.py:334-337)."""
     out = threshold_count(tasmax, ">", thresh, freq)
     return to_agg_units(out, tasmax, "count", deffreq="D")
 
