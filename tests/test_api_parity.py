@@ -169,3 +169,32 @@ def test_registry_size():
     from xclim_tpu.core.indicator import registry
 
     assert len(registry) >= 317
+
+
+class TestIndicatorModuleAttributeParity:
+    """Every module attribute the reference exposes from its indicator
+    realms must resolve here too — the reference often exposes long names
+    differing from identifiers (e.g. ``maximum_consecutive_dry_days`` for
+    ``cdd``; xclim:src/xclim/indicators/atmos/_precip.py:48-65)."""
+
+    @pytest.mark.parametrize("realm", ["atmos", "land", "seaIce", "generic"])
+    def test_all_reference_names_resolve(self, realm):
+        import ast
+        import glob
+        import importlib
+
+        ref_names = set()
+        for f in glob.glob(f"/root/reference/src/xclim/indicators/{realm}/*.py"):
+            for node in ast.walk(ast.parse(open(f).read())):
+                if isinstance(node, ast.Assign):
+                    for t in node.targets:
+                        if isinstance(t, ast.Name) and t.id == "__all__":
+                            for e in ast.walk(node.value):
+                                if isinstance(e, ast.Constant) and \
+                                        isinstance(e.value, str):
+                                    ref_names.add(e.value)
+        if not ref_names:
+            pytest.skip("reference tree unavailable")
+        mod = importlib.import_module(f"xclim_tpu.indicators.{realm}")
+        missing = sorted(n for n in ref_names if not hasattr(mod, n))
+        assert not missing, f"{realm} missing reference attributes: {missing}"
