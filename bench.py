@@ -399,14 +399,15 @@ def bench_all():
                 "baseline": base3,
                 "runs_ms": [round(x * 1e3, 1) for x in ts]}
 
-    def cfg_qdm():
-        base4 = _baseline_block("qdm", reps=2)
+    def cfg_qdm(size=32):
+        pin = {32: "qdm", 128: "qdm_16k"}[size]
+        base4 = _baseline_block("qdm", pin=pin, reps=2)
         from xclim_tpu.sdba import Grouper, QuantileDeltaMapping
 
         t30 = date_range("1981-01-01", periods=30 * 365, freq="D",
                          calendar="noleap")
-        ref = mk(3, (30 * 365, 32, 32), 285.0, 5.0, "K", "ref", t30)
-        hist = mk(4, (30 * 365, 32, 32), 287.0, 6.0, "K", "hist", t30)
+        ref = mk(3, (30 * 365, size, size), 285.0, 5.0, "K", "ref", t30)
+        hist = mk(4, (30 * 365, size, size), 287.0, 6.0, "K", "hist", t30)
 
         def qdm_once():
             adj = QuantileDeltaMapping.train(
@@ -415,13 +416,107 @@ def bench_all():
             return adj.adjust(hist)
 
         med, ts = _median5(qdm_once)
-        cd = 30 * 365 * 32 * 32
-        return {"config": "QDM train+adjust doy w31 nq50 1024 cells 30y",
+        cd = 30 * 365 * size * size
+        return {"config": f"QDM train+adjust doy w31 nq50 "
+                          f"{size * size} cells 30y",
                 "value": round(cd / med, 1),
                 "unit": "cell-days/s",
                 "vs_baseline": round(cd / med / base4["est_64core_cd_s"], 2),
                 "baseline": base4,
-                "runs_ms": [round(x * 1e3, 1) for x in ts]}
+                "runs_ms": [round(x * 1e3, 1) for x in ts],
+                "note": ("1024 cells is dispatch-floor-bound; the 16k-cell "
+                         "config shows kernel throughput" if size == 32
+                         else "ERA5-scale cell count (BASELINE.md target)")}
+
+    def cfg_fused_chain(size=100):
+        """VERDICT r2 #4: a 10-indicator chain at the dispatch-floor size,
+        compiled into ONE program (the CLI --fused path), vs the same chain
+        in sequential numpy (tools/baselines.py baseline_chain)."""
+        base = _baseline_block("chain", pin="chain", ny=size, nx=size,
+                               reps=2)
+        from xclim_tpu.core.indicator import registry
+
+        t = date_range("2000-01-01", periods=3650, freq="D",
+                       calendar="noleap")
+        tas = mk(20, (3650, size, size), 285.0, 6.0, "K", "tas", t)
+        tx = mk(21, (3650, size, size), 291.0, 6.0, "K", "tasmax", t)
+        tn = mk(22, (3650, size, size), 279.0, 6.0, "K", "tasmin", t)
+        pr = mk(23, (3650, size, size), 3e-5, 2e-5, "kg m-2 s-1", "pr", t)
+        pr = pr.copy(data=jnp.abs(pr.data))
+        pr.attrs["units"] = "kg m-2 s-1"
+        names = [("TG_MEAN", "tas", {"freq": "MS"}),
+                 ("TX_DAYS_ABOVE", "tasmax", {"thresh": "25 degC",
+                                              "freq": "YS"}),
+                 ("FROST_DAYS", "tasmin", {"freq": "YS"}),
+                 ("ICE_DAYS", "tasmax", {"freq": "YS"}),
+                 ("GROWING_DEGREE_DAYS", "tas", {"thresh": "4 degC",
+                                                 "freq": "YS"}),
+                 ("HEATING_DEGREE_DAYS", "tas", {"thresh": "17 degC",
+                                                 "freq": "YS"}),
+                 ("COOLING_DEGREE_DAYS", "tas", {"thresh": "18 degC",
+                                                 "freq": "YS"}),
+                 ("HEAT_WAVE_INDEX", "tasmax", {"freq": "YS"}),
+                 ("CDD", "pr", {"freq": "YS"}),
+                 ("PRCPTOT", "pr", {"freq": "YS"})]
+        vars_ = {"tas": tas, "tasmax": tx, "tasmin": tn, "pr": pr}
+
+        def chain(tasd, txd, tnd, prd):
+            d = {"tas": tas.copy(data=tasd), "tasmax": tx.copy(data=txd),
+                 "tasmin": tn.copy(data=tnd), "pr": pr.copy(data=prd)}
+            for k in d.values():
+                k.attrs = dict(vars_[k.name].attrs)
+            outs = []
+            for ind_name, var, kw in names:
+                o = registry[ind_name](d[var], **kw)
+                outs.extend(o if isinstance(o, tuple) else (o,))
+            return tuple(outs)
+
+        fused = climjit(chain)
+
+        def once():
+            return fused(tas.data, tx.data, tn.data, pr.data)
+
+        def sync(r):
+            for o in r:
+                _sync_scalar(o)
+
+        med, ts = _median5(once, sync=sync)
+        # marginal cost: one indicator alone at the same size
+        single = climjit(lambda d: registry["TG_MEAN"](tas.copy(data=d),
+                                                       freq="MS"))
+        med1, _ = _median5(lambda: single(tas.data))
+        cd = 10 * 3650 * size * size
+        return {"config": f"fused 10-indicator chain {size}x{size} 10y",
+                "value": round(cd / med, 1),
+                "unit": "indicator-cell-days/s",
+                "vs_baseline": round(cd / med / base["est_64core_cd_s"], 2),
+                "baseline": base,
+                "runs_ms": [round(x * 1e3, 1) for x in ts],
+                "single_indicator_ms": round(med1 * 1e3, 1),
+                "marginal_ms_per_indicator": round((med - med1) / 9 * 1e3, 2),
+                "note": "one XLA program for the whole chain (CLI --fused)"}
+
+    def cfg_spells_ab(size=448):
+        """VERDICT r2 #5: same size, same run, both spell engines."""
+        from xclim_tpu.ops.pallas.capability import pallas_mode, set_pallas_mode
+
+        t = date_range("2000-01-01", periods=3650, freq="D", calendar="noleap")
+        tx = mk(1, (3650, size, size), 290.0, 8.0, "K", "tasmax", t)
+        out = {"config": f"spells engine A/B {size}x{size}"}
+        prev = pallas_mode()
+        try:
+            for mode in ("mosaic", "off"):
+                set_pallas_mode(mode)
+                f1 = climjit(indices.tx_days_above)
+                med, _ = _median5(lambda: f1(tx, thresh="25 degC", freq="YS"))
+                key = "pallas_ms" if mode == "mosaic" else "xla_ms"
+                out[key] = round(med * 1e3, 1)
+                jax.clear_caches()
+        finally:
+            set_pallas_mode(prev if prev != "interpret" else None)
+        out["winner"] = "pallas" if out.get("pallas_ms", 1e9) <= \
+            out.get("xla_ms", 1e9) else "xla"
+        return out
 
     def cfg_ensembles():
         ny, nx = 128, 256  # ~continental 0.25 deg
@@ -433,10 +528,14 @@ def bench_all():
         ens = concat([mk(10 + i, (365, ny, nx), 285.0, 5.0, "K", "tas", t1)
                       for i in range(30)], dim="realization")
 
+        # the fut/hist split is input prep (the numpy baseline also splits
+        # outside its timed loop) — slice once, then time the compute
+        fut = ens.isel(time=slice(183, 365))
+        hist_ = ens.isel(time=slice(0, 182))
+        _sync_scalar(fut.data)
+
         def ens_once():
             p = ensemble_percentiles(ens, values=[10, 50, 90])
-            fut = ens.isel(time=slice(183, 365))
-            hist_ = ens.isel(time=slice(0, 182))
             rf = robustness_fractions(fut, hist_, test="ttest")
             return p, rf["changed"]
 
@@ -458,8 +557,11 @@ def bench_all():
                ("tg_mean 512", lambda: cfg_tg_mean(512)),
                ("spells", lambda: cfg_spells(100)),
                ("spells 448", lambda: cfg_spells(448)),
+               ("spells A/B", cfg_spells_ab),
+               ("fused chain", cfg_fused_chain),
                ("tx90p bootstrap", cfg_bootstrap),
-               ("QDM", cfg_qdm),
+               ("QDM 1k", lambda: cfg_qdm(32)),
+               ("QDM 16k", lambda: cfg_qdm(128)),
                ("ensembles", cfg_ensembles)]
     import gc
 

@@ -107,7 +107,10 @@ class TestLocales:
         with set_options(metadata_locales=["fr"]):
             out = atmos.tg_mean(tas, freq="MS")
         assert "long_name_fr" in out.attrs
-        assert "mensuelle" in out.attrs["long_name_fr"]
+        # reference fr.json keeps long_name frequency-free; the {freq:f}
+        # adjective lives in the description (xclim:data/fr.json TG_MEAN)
+        assert "Moyenne" in out.attrs["long_name_fr"]
+        assert "mensuelle" in out.attrs["description_fr"]
 
 
 class TestInjectedParams:

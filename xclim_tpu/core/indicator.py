@@ -425,6 +425,24 @@ class Indicator:
         for k, v in indexer.items():
             if v is not None:
                 args[k] = v
+        # the {indexer} template key: the single indexer value, or the freq
+        # when no time-subsetting applies (xclim:core/indicator.py:1306-1315
+        # — 'DJF' formats to 'winter', 'YS' to 'annual'). Indexer kwargs may
+        # arrive flattened (computes with **indexer take them as plain
+        # params) — scan those too.
+        live_idx = {k: v for k, v in indexer.items() if v is not None}
+        if not live_idx:
+            live_idx = {k: args[k] for k in _INDEXER_KEYS
+                        if k != "include_bounds" and args.get(k) is not None}
+        if live_idx:
+            dk, dv = live_idx.popitem()
+            if dk == "month" and isinstance(dv, (int, np.integer)):
+                dv = f"m{dv}"
+            elif dk in ("doy_bounds", "date_bounds"):
+                dv = f"{dv[0]} to {dv[1]}"
+            args["indexer"] = dv
+        else:
+            args["indexer"] = args.get("freq") or "YS"
         # month=m1 style formatting hooks
         if "month" in args and isinstance(args["month"], (int, np.integer)):
             args["month"] = f"m{args['month']}"
@@ -454,6 +472,12 @@ class Indicator:
                     val = fmtr.format(val, **args)
                 except (KeyError, IndexError, ValueError):
                     pass
+                # free-text fields get first-letter capitalization
+                # (xclim:core/indicator.py:406-407, :1329-1330)
+                if key in ("long_name", "description", "comment"):
+                    val = val.strip()
+                    if val:
+                        val = val[0].upper() + val[1:]
             attrs[key] = val
         # locales
         for locale in OPTIONS["metadata_locales"]:
@@ -476,11 +500,23 @@ class Indicator:
             callstr, *das.values(), new_name=cf.get("var_name", self.identifier))
         new = out.copy()
         prev_units = new.attrs.get("units", attrs.get("units", ""))
+        # compute-set attrs survive unless the declaration overrides them
+        # (xclim merges computed attrs then overlays cf_attrs) — e.g. fit's
+        # estimator/scipy_dist/original_units must reach the output
         kept = {k: v for k, v in new.attrs.items()
-                if k in ("units", "is_dayofyear", "calendar", "units_metadata")}
+                if k in ("units", "is_dayofyear", "calendar",
+                         "units_metadata") or k not in _CF_NAMES}
         new.attrs = {**kept, **{k: v for k, v in attrs.items() if k != "units"}}
         new.attrs.setdefault("units", prev_units)
-        new.name = cf.get("var_name", self.identifier)
+        # var_name is a template too (xclim:indicators/generic/_stats.py:42
+        # 'fa_{window}{mode:r}{indexer}' -> 'fa_1maxwinter')
+        name = cf.get("var_name", self.identifier)
+        if isinstance(name, str) and "{" in name:
+            try:
+                name = fmtr.format(name, **args)
+            except (KeyError, IndexError, ValueError):
+                pass
+        new.name = name
         return new
 
     # ------------------------------------------------------------------
@@ -543,6 +579,15 @@ class CheckMissingIndicator(Indicator):
             if out.time is not None and mask.time is not None and \
                     len(out.time) == len(mask.time):
                 new_outs.append(out.where(~mask))
+            elif mask.time is None and freq is None:
+                # reducing indicator (freq=None): the mask is one bool per
+                # cell; broadcast over any leading output axes (e.g. fit's
+                # dparams — xclim:core/indicator.py:1552 ReducingIndicator)
+                import jax.numpy as jnp
+
+                md = jnp.asarray(mask.data if hasattr(mask, "data") else mask)
+                new_outs.append(out.copy(data=jnp.where(
+                    md, jnp.nan, out.data)))
             else:
                 new_outs.append(out)
         return new_outs

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from xclim_tpu.core.indicator import Indicator, ResamplingIndicator
+from xclim_tpu.core.indicator import Indicator, ReducingIndicator, ResamplingIndicator
 from xclim_tpu.indices.generic import select_resample_op
 
 
@@ -13,26 +13,30 @@ class Generic(ResamplingIndicator):
 
 stats = Generic(
     identifier="stats",
-    title="Statistic of the daily values for a given period",
+    title="Simple resampled statistic of the values.",
     units="",
-    long_name="{freq} {op} of daily values",
-    description="{freq} {op} of daily values.",
+    var_name="stat_{indexer}{op:r}",
+    long_name="{op:noun} of variable",
+    description="{freq} {op:noun} of variable ({indexer}).",
     compute=select_resample_op,
 )
 
 
-class GenericReducing(Indicator):
+class GenericReducing(ReducingIndicator):
+    """Time-collapsing generic indicator — missing checks apply with
+    freq=None over the whole series (xclim:indicators/generic/_stats.py:13
+    Generic(ReducingIndicator), missing from context)."""
+
     realm = "generic"
-    missing = "skip"
 
 
-def _fit_compute(da, dist="norm", method="ML", **fitkwargs):
+def _fit_compute(da: "ClimArray", dist="norm", method="ML", **fitkwargs):
     from xclim_tpu.indices.stats import fit as _fit
 
     return _fit(da, dist=dist, method=method, **fitkwargs)
 
 
-def _return_level_compute(da, mode="max", t=20, dist="genextreme", window=1,
+def _return_level_compute(da: "ClimArray", mode="max", t=20, dist="genextreme", window=1,
                           freq="YS", method="PWM", **indexer):
     from xclim_tpu.indices.stats import frequency_analysis
 
@@ -54,9 +58,10 @@ return_level = GenericReducing(
     identifier="return_level",
     title="Return level from frequency analysis",
     units="",
-    long_name="{mode} return level for {t}-year return periods",
-    description="Return levels of block {mode}ima for {t}-year return periods, "
-                "from a {dist} fit.",
+    var_name="fa_{window}{mode:r}{indexer}",
+    long_name="N-year return level",
+    description="Frequency analysis for the {mode} {indexer} {window}-day "
+                "value estimated using the {dist} distribution.",
     compute=_return_level_compute,
 )
 

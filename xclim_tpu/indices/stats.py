@@ -419,9 +419,20 @@ def fit(da: ClimArray, dist: str = "norm", method: str = "ML",
     out_dims = ("dparams",) + tuple(d for d in da.dims if d != dim)
     coords = {c: v for c, v in da.coords.items() if c != dim}
     coords["dparams"] = np.asarray(names)
+    # human-readable estimator name (xclim:indices/stats.py:156-164,208)
+    method_name = {
+        "ML": "maximum likelihood", "MLE": "maximum likelihood",
+        "MM": "method of moments",
+        "MSE": "maximum product of spacings",
+        "MPS": "maximum product of spacings",
+        "PWM": "probability weighted moments",
+        "APP": "approximative method",
+    }
     out = ClimArray(params, out_dims, coords,
                     {"units": "", "scipy_dist": dist,
-                     "estimator": method,
+                     "method": method,
+                     "estimator": method_name.get(
+                         method.upper(), method).capitalize(),
                      "original_units": da.attrs.get("units", "")}, "params")
     return out
 
