@@ -206,12 +206,49 @@ def baseline_ensembles(nmembers=30, ny=64, nx=64, T=365, reps=3):
     return nmembers * T * ny * nx / sec, sec, 1.0
 
 
+def baseline_chain(nyears=10, ny=100, nx=100, reps=3):
+    """A realistic 10-indicator CLI chain on one (tas, tasmax, tasmin, pr)
+    dataset — the workload the --fused CLI path compiles into ONE program.
+    numpy implements each indicator exactly as the reference computes it
+    (threshold counts generic.py:329, degree-days generic.py:936, spells
+    run_length.py:381, reduceat resampling)."""
+    rng = np.random.default_rng(4)
+    T = 365 * nyears
+    C = ny * nx
+    tas = rng.normal(285, 6, (T, C)).astype(np.float32)
+    tx = tas + rng.uniform(2, 8, (T, C)).astype(np.float32)
+    tn = tas - rng.uniform(2, 8, (T, C)).astype(np.float32)
+    pr = (rng.gamma(0.6, 4.0, (T, C)) / 86400.0).astype(np.float32)
+    ystarts = np.arange(0, T, 365)
+    mstarts = _noleap_monthday_bounds(nyears)
+    mlens = np.diff(np.concatenate([mstarts, [T]]))[:, None]
+
+    def run():
+        np.add.reduceat(tas, mstarts, axis=0) / mlens          # tg_mean MS
+        np.add.reduceat(tx > 298.15, ystarts, axis=0)          # tx_days_above
+        np.add.reduceat(tn < 273.15, ystarts, axis=0)          # frost_days
+        np.add.reduceat(tx < 273.15, ystarts, axis=0)          # ice_days
+        np.add.reduceat(np.clip(tas - 277.15, 0, None), ystarts, axis=0)  # gdd
+        np.add.reduceat(np.clip(290.15 - tas, 0, None), ystarts, axis=0)  # hdd
+        np.add.reduceat(np.clip(tas - 291.15, 0, None), ystarts, axis=0)  # cdd
+        b = (tx > 298.15).reshape(nyears, 365, C)              # heat_wave_index
+        rl = _runlengths(b)
+        np.where(rl >= 5, 1, 0).sum(axis=1)
+        dry = (pr * 86400 < 1.0).reshape(nyears, 365, C)       # max consec dry
+        _runlengths(dry).max(axis=1)
+        np.add.reduceat(pr, ystarts, axis=0) * 86400           # prcptot
+
+    sec = _median_time(run, reps)
+    return 10 * T * C / sec, sec, 1.0
+
+
 ALL = {
     "tg_mean": baseline_tg_mean,
     "spells": baseline_spells,
     "tx90p_bootstrap": baseline_tx90p_bootstrap,
     "qdm": baseline_qdm,
     "ensembles": baseline_ensembles,
+    "chain": baseline_chain,
 }
 
 

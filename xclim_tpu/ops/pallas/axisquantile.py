@@ -55,9 +55,16 @@ def _ce(x, k, asc_mask):
                      jnp.maximum(x, partner))
 
 
-def _kernel(x_ref, *out_refs, Mp, nq, BC, qvals, coffs):
+def _kernel(x_ref, *out_refs, M, Mp, nq, BC, qvals, coffs):
     x = x_ref[...]                                   # (Mp, BC)
-    nv = jnp.sum((x < BIG * 0.5).astype(jnp.float32), axis=0)  # (BC,)
+    # NaN -> BIG and row masking happen HERE: mapping them host-side cost
+    # two full HBM copies (a jnp.where producer plus the sublane jnp.pad —
+    # ~25 ms at the 1.4 GB ensembles shape, since XLA cannot fuse
+    # producers into a pallas_call operand)
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    ok = (rows < M) & ((x >= 0.0) | (x < 0.0))       # False for NaN/pad
+    x = jnp.where(ok, x, BIG)
+    nv = jnp.sum(ok.astype(jnp.float32), axis=0)     # (BC,)
 
     # full bitonic sort ascending along the sublane axis
     ii = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
@@ -90,15 +97,17 @@ def _call(x2, *, q_tuple, alpha, beta, interpret=False):
     M, C = x2.shape
     Mp = max(8, 1 << (M - 1).bit_length())
     Cp = -(-C // _LANES) * _LANES
-    x = jnp.where(x2 == x2, x2, BIG)
-    if Mp > M or Cp > C:
-        x = jnp.pad(x, ((0, Mp - M), (0, Cp - C)), constant_values=BIG)
+    x = x2
+    if Cp > C:
+        # lane padding still copies; sublane (row) padding and the NaN
+        # sentinel mapping are handled by the in-kernel row mask instead
+        x = jnp.pad(x, ((0, 0), (0, Cp - C)), constant_values=BIG)
     qvals = tuple(float(np.float32(v)) for v in q_tuple)
     coffs = tuple(float(np.float32(np.float32(v)
                                    * np.float32(1 - alpha - beta))
                         + np.float32(alpha)) for v in qvals)
     nq = len(qvals)
-    kernel = functools.partial(_kernel, Mp=Mp, nq=nq, BC=_LANES,
+    kernel = functools.partial(_kernel, M=M, Mp=Mp, nq=nq, BC=_LANES,
                                qvals=qvals, coffs=coffs)
     outs = pl.pallas_call(
         kernel,

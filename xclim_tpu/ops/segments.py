@@ -16,6 +16,7 @@ semantics) unless stated otherwise.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -111,6 +112,13 @@ def _pallas_segment_reduce(x, spec, op, axis):
     from xclim_tpu.ops.pallas.segred import SUPPORTED_OPS
 
     if op not in SUPPORTED_OPS:
+        return None
+    if SUPPORTED_OPS[op] != "sum" and os.environ.get(
+            "XCLIM_TPU_SEGRED", "") != "all":
+        # A/B on v5e (tx_max 512x512 10y): the masked-slice VPU kernel runs
+        # 69 ms vs 49 ms for the fused XLA gather — the min/max and m2 stat
+        # sets stay opt-in until a kernel beats the gather (VERDICT r2 #5:
+        # default to the measured winner per op class)
         return None
     if not jnp.issubdtype(jnp.result_type(x), jnp.floating):
         return None
