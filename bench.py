@@ -219,12 +219,16 @@ def _baseline_block(name, pin=None, live=True, **kw):
 
     Prefers the pinned full-fraction measurement (key ``pin`` or ``name``);
     a quick live re-measurement is recorded alongside for drift audit but
-    never used as the ratio denominator when a pin exists.
+    never used as the ratio denominator when a pin exists. Set
+    ``BENCH_LIVE_BASELINE=0`` to skip the live re-measurement entirely
+    (e.g. on a loaded host where the numbers would only record noise).
     """
     global _PINNED
     if _PINNED is None:
         _PINNED = _load_pinned()
     pinned = _PINNED.get(pin or name)
+    if os.environ.get("BENCH_LIVE_BASELINE", "1") == "0" and pinned is not None:
+        live = False
     block = {}
     if live or pinned is None:
         import baselines
@@ -518,6 +522,37 @@ def bench_all():
             out.get("xla_ms", 1e9) else "xla"
         return out
 
+    def cfg_roofline():
+        """VERDICT r2 #2: measure the backend's HBM bandwidth ceiling so the
+        memory-bound configs are judged against a real roofline.
+
+        The copy kernel (y = x * c) touches HBM twice (read + write) over
+        the same 3.8 GB float32 array as the tg_mean 512x512 config; the
+        reduce kernel (monthly segment mean) reads it once with a tiny
+        write. Effective bandwidth = bytes touched / median wall time.
+        """
+        shape = (3650, 512, 512)
+        x = jax.random.normal(jax.random.PRNGKey(9), shape)
+        _sync_scalar(x)
+        copy = jax.jit(lambda a: a * jnp.float32(1.0000001))
+        med_c, _ = _median5(lambda: copy(x), reps=3)
+        copy_gbs = 2 * x.size * 4 / med_c / 1e9
+
+        from xclim_tpu.core.calendar import resample_segments
+        from xclim_tpu.ops.segments import segment_reduce
+        t = date_range("2000-01-01", periods=3650, freq="D",
+                       calendar="noleap")
+        spec = resample_segments(t, "MS")
+        red = jax.jit(lambda a: segment_reduce(a, spec, "mean", axis=0))
+        med_r, _ = _median5(lambda: red(x), reps=3)
+        red_gbs = x.size * 4 / med_r / 1e9
+        return {"config": "HBM roofline (3.8 GB fp32)",
+                "copy_kernel_GBps": round(copy_gbs, 1),
+                "segment_mean_GBps": round(red_gbs, 1),
+                "segment_vs_roofline": round(red_gbs / copy_gbs, 2),
+                "note": "copy touches HBM 2x (r+w); segment mean reads 1x "
+                        "with a negligible write"}
+
     def cfg_ensembles():
         ny, nx = 128, 256  # ~continental 0.25 deg
         base5 = _baseline_block("ensembles", ny=ny, nx=nx)
@@ -562,8 +597,16 @@ def bench_all():
                ("tx90p bootstrap", cfg_bootstrap),
                ("QDM 1k", lambda: cfg_qdm(32)),
                ("QDM 16k", lambda: cfg_qdm(128)),
-               ("ensembles", cfg_ensembles)]
+               ("ensembles", cfg_ensembles),
+               ("roofline", cfg_roofline)]
     import gc
+
+    # `--config <substring>` runs a subset (results merge into the existing
+    # BENCH_DETAIL.json instead of replacing it)
+    only = None
+    if "--config" in sys.argv:
+        only = sys.argv[sys.argv.index("--config") + 1].lower()
+        configs = [(n, f) for n, f in configs if only in n.lower()]
 
     for name, fn in configs:
         try:
@@ -583,7 +626,24 @@ def bench_all():
 
     for r in results:
         print(json.dumps(r))
-    with open("BENCH_DETAIL.json", "w") as f:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_DETAIL.json")
+    if only is not None and os.path.exists(path):
+        with open(path) as f:
+            prior = json.load(f)
+        new_names = {r["config"] for r in results}
+        # keep original ordering: replace in place where possible
+        out = []
+        for r in prior:
+            if r["config"] in new_names:
+                out.append(next(x for x in results
+                                if x["config"] == r["config"]))
+                new_names.discard(r["config"])
+            else:
+                out.append(r)
+        out.extend(r for r in results if r["config"] in new_names)
+        results = out
+    with open(path, "w") as f:
         json.dump(results, f, indent=2)
     return results
 

@@ -157,7 +157,7 @@ class TestWindIndicators:
         windy = atmos.windy_days(sfcWind=w, thresh="3 m s-1", freq="YS")
         assert np.asarray(calm.data)[0] == 30
         assert np.asarray(windy.data)[0] == 335
-        assert calm.attrs["units"] == "d"
+        assert calm.attrs["units"] == "days"  # the reference keeps the declared spelling
 
     def test_sfcwindmax_stats(self):
         from xclim_tpu.indicators import atmos

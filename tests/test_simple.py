@@ -39,7 +39,7 @@ class TestTgMean:
         assert out.time.month[0] == 1
 
     def test_yearly(self, tas_series):
-        tas = tas_series(np.full(365, 280.0))
+        tas = tas_series(np.full(365, 280.0), start="2000-01-01")
         out = tg_mean(tas)
         np.testing.assert_allclose(out.values, [280.0], rtol=1e-6)
 

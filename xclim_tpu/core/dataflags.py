@@ -134,10 +134,11 @@ def very_large_precipitation_events(da: ClimArray, *, thresh: str = "300 mm d-1"
 def values_op_thresh_repeating_for_n_or_more_days(da: ClimArray, *, n: int,
                                                   thresh: str,
                                                   op: str = "==") -> ClimArray:
-    """Value op thresh for n+ consecutive days (xclim:core/dataflags.py:377)."""
+    """Runs of n+ identical values satisfying ``value op thresh``
+    (xclim:core/dataflags.py:377-416 — the reference detects identical-value
+    runs first and filters them by the threshold comparison)."""
     t = convert_units_to(str2pint(thresh), da, context="infer")
-    cond = get_op(op if op != "==" else "eq")(da, t) if op != "==" else (da == t)
-    out = suspicious_run(cond.astype(jnp.float32), window=n, op=">")
+    out = suspicious_run(da, window=n, op=op, thresh=t)
     return _flag(da, out.data, "values_op_thresh_repeating",
                  f"Repetitive values at {thresh} for at least {n} days found.")
 
@@ -178,7 +179,7 @@ def outside_n_standard_deviations_of_climatology(da: ClimArray, *, n: int,
 @register_methods("values_repeating_for_{n}_or_more_days")
 def values_repeating_for_n_or_more_days(da: ClimArray, *, n: int) -> ClimArray:
     """Identical values n+ days in a row (xclim:core/dataflags.py:521)."""
-    out = suspicious_run(da, window=n, op="==")
+    out = suspicious_run(da, window=n)
     return _flag(da, out.data, "values_repeating",
                  f"Runs of repetitive values for {n} or more days found.")
 

@@ -401,11 +401,19 @@ class Indicator:
             return out
         if units2pint(out).dims != units2pint(str(target)).dims:
             try:
-                return convert_units_to(out, target, context="infer")
+                out = convert_units_to(out, target, context="infer")
             except Exception:
                 return out
-        if out.attrs.get("units") != target:
-            return convert_units_to(out, target, context=self.context)
+        elif out.attrs.get("units") != target:
+            out = convert_units_to(out, target, context=self.context)
+        # the reference re-derives the attr from the declared target via
+        # pint2cfattrs (xclim:core/units.py:412): dimensionless renders as
+        # the CF "1", and the declared spelling ("days", not the canonical
+        # "d") is what indicator outputs carry.
+        if str(target).strip() in ("", "1", "dimensionless"):
+            out.attrs["units"] = "1"
+        else:
+            out.attrs["units"] = str(target)
         return out
 
     def _postprocess(self, outs, das, params):

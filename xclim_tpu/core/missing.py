@@ -60,11 +60,26 @@ def expected_count(time, freq: str | None = None, src_timestep: str | None = Non
         mask = select_time_mask(full, **{k: v for k, v in indexer.items() if v is not None})
         return np.array(int(mask.sum()))
     spec = resample_segments(time, freq)
-    # build the complete timeline covering all periods, at src_timestep
+    if not any(v is not None for v in indexer.values()):
+        # no time subsetting: the segment spec's calendar math is exact
+        return spec.expected.astype(np.int64)
+    # build the complete timeline covering all periods, at src_timestep.
+    # For end-labeled freqs (ME/YE/QE) the label is the period's LAST step,
+    # so the timeline must start expected[0]-1 steps earlier — starting at
+    # the label would make the first period one step long.
     labels = spec.labels
     start_iso = labels.isoformat(0)
-    # generate enough steps: sum of expected + slack
+    _, _, is_start_freq, _ = parse_offset(freq)
     total = int(spec.expected.sum()) + 400
+    if not is_start_freq:
+        from xclim_tpu.core.calendar import ordinal_to_date
+
+        step_s = int(np.diff(time.encode()).min()) if len(time) > 1 else 86400
+        enc0 = int(labels.encode()[0]) - (int(spec.expected[0]) - 1) * step_s
+        yy, mm, dd = ordinal_to_date(np.array([enc0 // 86400]), time.calendar)
+        sod = enc0 % 86400
+        start_iso = (f"{int(yy[0]):04d}-{int(mm[0]):02d}-{int(dd[0]):02d} "
+                     f"{sod // 3600:02d}:{(sod % 3600) // 60:02d}:{sod % 60:02d}")
     full = date_range(start_iso, periods=total, freq=src_timestep, calendar=time.calendar)
     fspec = resample_segments(full, freq)
     mask = select_time_mask(full, **{k: v for k, v in indexer.items() if v is not None})

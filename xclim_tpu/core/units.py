@@ -62,9 +62,14 @@ _ZERO_DIM = _dv()
 _DENSITY_DIM = _dv(M=1, L=-3)
 
 
-class UnitError(ValueError):
+from xclim_tpu.core._exceptions import ValidationError as _ValidationError
+
+
+class UnitError(_ValidationError):
     """Raised for undefined units or incompatible dimensionalities
-    (stand-in for pint.UndefinedUnitError / DimensionalityError)."""
+    (stand-in for pint.UndefinedUnitError / DimensionalityError; subclasses
+    ValidationError because the reference's check_units raises it,
+    xclim:core/units.py:1289)."""
 
 
 # symbol → (scale_to_SI, offset_to_SI, dims, canonical_symbol)

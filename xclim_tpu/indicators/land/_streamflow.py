@@ -49,14 +49,16 @@ rb_flashiness_index = Streamflow(
     compute=indices.rb_flashiness_index,
 )
 
+# the reference builds these on generic.select_resample_op so they accept
+# time-indexing kwargs (xclim:indicators/land/_streamflow.py:83-104)
 doy_qmax = Streamflow(
     identifier="doy_qmax",
     title="Day of year of the maximum streamflow",
     units="1",
     long_name="Day of the year of the maximum streamflow",
     description="Day of the year of the maximum streamflow over {freq}.",
-    compute=indices.generic.doymax,
-    parameters={"da": {"kind": 0}},
+    compute=indices.generic.select_resample_op,
+    parameters={"da": {"kind": 0}, "op": "doymax", "out_units": None},
 )
 
 doy_qmin = Streamflow(
@@ -65,8 +67,8 @@ doy_qmin = Streamflow(
     units="1",
     long_name="Day of the year of the minimum streamflow",
     description="Day of the year of the minimum streamflow over {freq}.",
-    compute=indices.generic.doymin,
-    parameters={"da": {"kind": 0}},
+    compute=indices.generic.select_resample_op,
+    parameters={"da": {"kind": 0}, "op": "doymin", "out_units": None},
 )
 
 standardized_streamflow_index = Streamflow(

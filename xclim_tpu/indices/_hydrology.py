@@ -150,13 +150,13 @@ def snd_max_doy(snd: ClimArray, freq: str = "YS-JUL") -> ClimArray:
     return out.where(~valid)
 
 
-@declare_units(snw="[mass]/[area]")
+@declare_units(snw="[snowamount]")
 def snw_max(snw: ClimArray, freq: str = "YS-JUL") -> ClimArray:
     """Maximum snow amount (xclim:_hydrology.py:318)."""
     return generic.select_resample_op(snw, op="max", freq=freq)
 
 
-@declare_units(snw="[mass]/[area]")
+@declare_units(snw="[snowamount]")
 def snw_max_doy(snw: ClimArray, freq: str = "YS-JUL") -> ClimArray:
     """Doy of maximum snow amount (xclim:_hydrology.py:343)."""
     valid = at_least_n_valid(snw.where(snw > 0), n=1, freq=freq)
@@ -164,7 +164,7 @@ def snw_max_doy(snw: ClimArray, freq: str = "YS-JUL") -> ClimArray:
     return out.where(~valid)
 
 
-@declare_units(snw="[mass]/[area]")
+@declare_units(snw="[snowamount]")
 def snow_melt_we_max(snw: ClimArray, window: int = 3, freq: str = "YS-JUL") -> ClimArray:
     """Max water-equivalent snow melt over a window (xclim:_hydrology.py:371)."""
     ax = snw.time_axis
@@ -178,7 +178,7 @@ def snow_melt_we_max(snw: ClimArray, window: int = 3, freq: str = "YS-JUL") -> C
     return out
 
 
-@declare_units(snw="[mass]/[area]", pr="[precipitation]")
+@declare_units(snw="[snowamount]", pr="[precipitation]")
 def melt_and_precip_max(snw: ClimArray, pr: ClimArray, window: int = 3,
                         freq: str = "YS-JUL") -> ClimArray:
     """Max combined snow melt and precipitation (xclim:_hydrology.py:412)."""
@@ -226,7 +226,7 @@ def low_flow_frequency(q: ClimArray, threshold_factor: float = 0.2,
     return to_agg_units(out, q, "count", deffreq="D")
 
 
-@declare_units(snw="[mass]/[area]", q="[discharge]")
+@declare_units(snw="[snowamount]", q="[discharge]")
 def lag_snowpack_flow_peaks(snw: ClimArray, q: ClimArray, freq: str = "YS-OCT",
                             p: float = 0.9) -> ClimArray:
     """Days between annual max snowpack and the mean date of high-flow days

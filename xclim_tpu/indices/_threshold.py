@@ -15,6 +15,7 @@ from xclim_tpu.core.missing import at_least_n_valid
 from xclim_tpu.core.units import (
     convert_units_to,
     declare_units,
+    parse_units,
     pint2cfunits,
     rate2amount,
     str2pint,
@@ -905,7 +906,9 @@ def sea_ice_area(siconc: ClimArray, areacello: ClimArray, thresh: str = "15 pct"
     cell_dims = areacello.dims
     prod = conc * areacello
     sia = prod.sum(dim=list(cell_dims)) / factor
-    sia.attrs["units"] = areacello.attrs.get("units", "m2")
+    # normalize to the CF spelling ("km^2" -> "km2"), as the reference's
+    # pint2cfunits does (xclim:_threshold.py:3092)
+    sia.attrs["units"] = parse_units(areacello.attrs.get("units", "m2")).to_cf()
     return sia
 
 
@@ -916,7 +919,7 @@ def sea_ice_extent(siconc: ClimArray, areacello: ClimArray, thresh: str = "15 pc
     mask = (siconc >= t).astype(jnp.float32)
     prod = mask * areacello
     sie = prod.sum(dim=list(areacello.dims))
-    sie.attrs["units"] = areacello.attrs.get("units", "m2")
+    sie.attrs["units"] = parse_units(areacello.attrs.get("units", "m2")).to_cf()
     return sie
 
 

@@ -94,7 +94,10 @@ def longest_run(da: ClimArray, freq: str | None = None, index: str = "first",
 
 
 def windowed_run_count(da: ClimArray, window: int, freq: str | None = None,
-                       resample_before_rl: bool = True) -> ClimArray:
+                       resample_before_rl: bool = True,
+                       index: str = "first") -> ClimArray:
+    # `index` picks which end of the run carries the rle value — the totals
+    # are identical either way (the reference parameterizes both to prove it)
     spec = _spec(da, freq)
     out = _rl.windowed_run_count(da.data, window, axis=da.time_axis, spec=spec,
                                  resample_before_rl=resample_before_rl)
@@ -102,7 +105,8 @@ def windowed_run_count(da: ClimArray, window: int, freq: str | None = None,
 
 
 def windowed_run_events(da: ClimArray, window: int, freq: str | None = None,
-                        resample_before_rl: bool = True) -> ClimArray:
+                        resample_before_rl: bool = True,
+                        index: str = "first") -> ClimArray:
     spec = _spec(da, freq)
     out = _rl.windowed_run_events(da.data, window, axis=da.time_axis, spec=spec,
                                   resample_before_rl=resample_before_rl)
@@ -110,11 +114,22 @@ def windowed_run_events(da: ClimArray, window: int, freq: str | None = None,
 
 
 def windowed_max_run_sum(da: ClimArray, window: int, freq: str | None = None,
-                         resample_before_rl: bool = True) -> ClimArray:
+                         resample_before_rl: bool = True,
+                         index: str = "first") -> ClimArray:
     spec = _spec(da, freq)
     out = _rl.windowed_max_run_sum(da.data, window, axis=da.time_axis, spec=spec,
                                    resample_before_rl=resample_before_rl)
     return _wrap_seg(da, out, spec)
+
+
+def _rel_to_period(da: ClimArray, idx, spec):
+    """Resampled raw indices are period-relative in the reference (each group
+    is mapped separately, xclim run_length.py:87-133 + :643), while the
+    kernel returns absolute time indices — shift by the segment starts."""
+    starts = jnp.asarray(spec.starts, dtype=jnp.float32)
+    shape = [1] * idx.ndim
+    shape[da.time_axis] = len(spec.starts)
+    return idx - starts.reshape(shape)
 
 
 def first_run(da: ClimArray, window: int, freq: str | None = None, coord=False,
@@ -122,6 +137,8 @@ def first_run(da: ClimArray, window: int, freq: str | None = None, coord=False,
     spec = _spec(da, freq)
     idx = _rl.first_run(da.data, window, axis=da.time_axis, spec=spec,
                         resample_before_rl=resample_before_rl)
+    if spec is not None and not coord:
+        idx = _rel_to_period(da, idx, spec)
     return _wrap_seg(da, _index_to_doy(da, idx, coord), spec)
 
 
@@ -130,6 +147,8 @@ def last_run(da: ClimArray, window: int, freq: str | None = None, coord=False,
     spec = _spec(da, freq)
     idx = _rl.last_run(da.data, window, axis=da.time_axis, spec=spec,
                        resample_before_rl=resample_before_rl)
+    if spec is not None and not coord:
+        idx = _rel_to_period(da, idx, spec)
     return _wrap_seg(da, _index_to_doy(da, idx, coord), spec)
 
 
@@ -249,6 +268,10 @@ def run_end_after_date(da: ClimArray, window: int, date: str = "07-01",
 
 
 def _season_parts(da: ClimArray, window: int, mid_date: str | None, freq: str):
+    if freq is None:
+        # whole-axis season (the reference's default, xclim :998): no
+        # resampling, outputs collapse the time dim
+        return _season_parts_whole(da, window, mid_date)
     spec = _spec(da, freq)
     ax = da.time_axis
     n = len(da.time)
@@ -289,45 +312,87 @@ def _season_parts(da: ClimArray, window: int, mid_date: str | None, freq: str):
     return spec, beg, end
 
 
+def _season_parts_whole(da: ClimArray, window: int, mid_date: str | None = None):
+    """Season bounds over the whole axis (freq=None): outputs have no time
+    dim, matching the reference's unresampled rl.season. The start run must
+    begin before `mid_date`, the closing non-run at/after it (xclim :891)."""
+    ax = da.time_axis
+    n = len(da.time)
+    b = _rl._as_bool(da.data)
+    pos = np.arange(n, dtype=np.float32)
+    shape = [1] * da.ndim
+    shape[ax] = n
+    posj = jnp.asarray(pos).reshape(shape)
+
+    has_date = True
+    if mid_date is not None:
+        mm, dd = (int(x) for x in mid_date.split("-"))
+        match = np.where((da.time.month == mm) & (da.time.day == dd))[0]
+        if len(match) > 1:
+            raise ValueError(f"More than 1 instance of date {mid_date} "
+                             "in the time axis; pass a freq.")
+        has_date = len(match) == 1
+        mid = int(match[0]) if has_date else n + 1
+        beg_x = jnp.logical_and(b, posj < mid + window - 1)
+    else:
+        beg_x = b
+    beg = _rl.first_run(beg_x, window, axis=ax, spec=None)  # (space,) abs idx
+    beg_per_step = jnp.expand_dims(jnp.nan_to_num(beg, nan=jnp.inf), ax)
+    not_da = jnp.logical_and(~b, posj >= beg_per_step)
+    if mid_date is not None:
+        not_da = jnp.logical_and(not_da, posj >= mid)
+    end = _rl.first_run(not_da, window, axis=ax, spec=None)
+    if not has_date:
+        beg = jnp.full_like(beg, jnp.nan)
+        end = jnp.full_like(end, jnp.nan)
+    return None, beg, end
+
+
 def season_start(da: ClimArray, window: int, mid_date: str | None = None,
-                 freq: str = "YS", coord=False) -> ClimArray:
+                 freq: str | None = None, coord=False) -> ClimArray:
     """First day of the first `window`-day run (before mid_date) — xclim :891."""
     spec, beg, _ = _season_parts(da, window, mid_date, freq)
     return _wrap_seg(da, _index_to_doy(da, beg, coord), spec)
 
 
 def season_end(da: ClimArray, window: int, mid_date: str | None = None,
-               freq: str = "YS", coord=False) -> ClimArray:
+               freq: str | None = None, coord=False) -> ClimArray:
     """First day of the first `window`-day non-run after the season start
     (xclim :931). NaN if no start; last index if started but never ended."""
     spec, beg, end = _season_parts(da, window, mid_date, freq)
     ax = da.time_axis
-    sh = [1] * da.ndim
-    sh[ax] = spec.nseg
-    last_idx = np.asarray(spec.starts, dtype=np.float32) + np.asarray(spec.counts, dtype=np.float32) - 1
-    last = jnp.asarray(last_idx).reshape(sh)
+    if spec is None:
+        last = jnp.float32(len(da.time) - 1)
+    else:
+        sh = [1] * da.ndim
+        sh[ax] = spec.nseg
+        last_idx = np.asarray(spec.starts, dtype=np.float32) + np.asarray(spec.counts, dtype=np.float32) - 1
+        last = jnp.asarray(last_idx).reshape(sh)
     end = jnp.where(jnp.isnan(end) & ~jnp.isnan(beg), last, end)
     end = jnp.where(jnp.isnan(beg), jnp.nan, end)
     return _wrap_seg(da, _index_to_doy(da, end, coord), spec)
 
 
 def season_length(da: ClimArray, window: int, mid_date: str | None = None,
-                  freq: str = "YS") -> ClimArray:
+                  freq: str | None = None) -> ClimArray:
     """end - start; if started but never ended: distance to last step + 1;
     0 if no season (xclim :1031)."""
     spec, beg, end = _season_parts(da, window, mid_date, freq)
     ax = da.time_axis
-    sh = [1] * da.ndim
-    sh[ax] = spec.nseg
-    seg_end = np.asarray(spec.starts, dtype=np.float32) + np.asarray(spec.counts, dtype=np.float32)
-    bound = jnp.asarray(seg_end).reshape(sh)
+    if spec is None:
+        bound = jnp.float32(len(da.time))
+    else:
+        sh = [1] * da.ndim
+        sh[ax] = spec.nseg
+        seg_end = np.asarray(spec.starts, dtype=np.float32) + np.asarray(spec.counts, dtype=np.float32)
+        bound = jnp.asarray(seg_end).reshape(sh)
     length = jnp.where(jnp.isnan(end), bound - beg, end - beg)
     length = jnp.where(jnp.isnan(beg), 0.0, length)
     return _wrap_seg(da, length, spec)
 
 
 def season(da: ClimArray, window: int, mid_date: str | None = None,
-           freq: str = "YS", coord=False) -> dict:
+           freq: str | None = None, coord=False) -> dict:
     """start/end/length of the season as a dict of ClimArrays (xclim :998)."""
     return {
         "start": season_start(da, window, mid_date, freq, coord),
@@ -380,6 +445,15 @@ def keep_longest_run(da: ClimArray, freq: str | None = None) -> ClimArray:
     else:
         mxs = jnp.expand_dims(mx, ax)
     is_start_of_longest = jnp.nan_to_num(d, nan=0.0) == jnp.where(mxs > 0, mxs, -1)
+    # ties: the reference's argmax keeps only the FIRST longest run
+    # (xclim :805-833) — drop any candidate with a candidate before it in
+    # the same period (exclusive prefix count of candidates)
+    cf = jnp.moveaxis(is_start_of_longest, ax, 0)
+    pre = jnp.cumsum(cf, axis=0) - cf  # candidates strictly before each step
+    if spec is not None:
+        off = jnp.take(pre, jnp.asarray(spec.starts), axis=0)
+        pre = pre - jnp.take(off, jnp.asarray(spec.seg_id), axis=0)
+    is_start_of_longest = jnp.moveaxis(cf & (pre == 0), 0, ax)
     # propagate marker forward across the run
     xf = jnp.moveaxis(is_start_of_longest, ax, 0)
     bf = jnp.moveaxis(b, ax, 0)
@@ -397,8 +471,16 @@ def keep_longest_run(da: ClimArray, freq: str | None = None) -> ClimArray:
     return da.copy(data=out)
 
 
-def suspicious_run(da: ClimArray, window: int = 10, op: str = "==") -> ClimArray:
-    out = _rl.suspicious_run(da.data, axis=da.time_axis, window=window, op=op)
+_OP_WORDS = {"gt": ">", "ge": ">=", "lt": "<", "le": "<=", "eq": "==",
+             "ne": "!="}
+
+
+def suspicious_run(da: ClimArray, window: int = 10, op: str = ">",
+                   thresh=None) -> ClimArray:
+    """Flag runs of >= window identical values, optionally filtered to runs
+    whose value satisfies ``value op thresh`` (xclim run_length.py:1717)."""
+    out = _rl.suspicious_run(da.data, axis=da.time_axis, window=window,
+                             op=_OP_WORDS.get(op, op), thresh=thresh)
     return da.copy(data=out)
 
 

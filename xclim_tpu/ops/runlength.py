@@ -166,11 +166,19 @@ def rle_statistics(x, reducer: str, window: int, axis: int = 0,
     d = rle(x, axis=axis, index=index,
             reset_spec=spec if resample_before_rl else None)
     dw = jnp.where(d >= window, d, jnp.nan)
+    # quantile reducers ("q90" → 0.9 of the run lengths, np.nanquantile
+    # linear interpolation — xclim run_length.py:316-321)
+    qv = (float(reducer[1:]) / 100.0
+          if reducer[:1] == "q" and reducer[1:].isdigit() else None)
     if spec is None:
         red = {"max": lambda a: jnp.nanmax(a, axis=axis, initial=-jnp.inf),
                "min": lambda a: jnp.nanmin(a, axis=axis, initial=jnp.inf),
                "sum": lambda a: jnp.nansum(a, axis=axis),
-               "mean": lambda a: jnp.nanmean(a, axis=axis)}[reducer]
+               "mean": lambda a: jnp.nanmean(a, axis=axis),
+               "std": lambda a: jnp.nanstd(a, axis=axis),
+               "median": lambda a: jnp.nanmedian(a, axis=axis)}.get(reducer)
+        if red is None and qv is not None:
+            red = lambda a: jnp.nanquantile(a, qv, axis=axis)  # noqa: E731
         import warnings
 
         with warnings.catch_warnings():
@@ -178,7 +186,22 @@ def rle_statistics(x, reducer: str, window: int, axis: int = 0,
             stat = red(dw)
         nohit = ~jnp.any(jnp.nan_to_num(d, nan=0.0) >= window, axis=axis)
         return jnp.where(nohit, 0.0, stat)
-    stat = segment_reduce(dw, spec, reducer, axis=axis)
+    if qv is not None:
+        # gather each segment's run lengths and take the NaN-aware quantile
+        table = build_gather_table(spec)
+        tb = jnp.asarray(table)
+        df = jnp.moveaxis(dw, axis, 0)
+        g = df[jnp.maximum(tb, 0)]  # (nseg, maxlen, ...)
+        okpad = (tb >= 0).reshape(tb.shape + (1,) * (g.ndim - 2))
+        g = jnp.where(okpad, g, jnp.nan)
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            stat = jnp.nanquantile(g, qv, axis=1)
+        stat = jnp.moveaxis(stat, 0, axis)
+    else:
+        stat = segment_reduce(dw, spec, reducer, axis=axis)
     hits = segment_reduce(jnp.nan_to_num(d, nan=0.0) >= window, spec, "any", axis=axis)
     return jnp.where(hits, stat, 0.0)
 
@@ -330,48 +353,44 @@ def last_run(x, window: int, axis: int = 0, spec: SegmentSpec | None = None,
     return _boundary_run(x, window, axis, spec, "last", resample_before_rl)
 
 
-def suspicious_run(x, axis: int = 0, window: int = 10, op: str = "=="):
-    """Boolean mask flagging values inside runs of repeating/thresholded values
-    (xclim run_length.py:1717, used by dataflags).
+def suspicious_run(x, axis: int = 0, window: int = 10, op: str = ">",
+                   thresh=None):
+    """Boolean mask flagging values inside runs of IDENTICAL consecutive
+    values of length >= window (xclim run_length.py:1693-1714, used by
+    dataflags).
 
-    op '==' flags runs of identical consecutive values; otherwise runs where
-    ``x op 0`` holds.
+    When ``thresh`` is given, only runs whose (constant) value satisfies
+    ``value op thresh`` are flagged — the reference filters the detected
+    identical runs by their value, it never relaxes the identity
+    requirement. NaN follows numpy equality: NaN != NaN, so NaN stretches
+    are runs of length 1 and are never flagged.
     """
+    import operator
+
     xf = jnp.moveaxis(x, axis, 0)
-    if op == "==":
-        prev = jnp.concatenate([jnp.full_like(xf[:1], jnp.nan), xf[:-1]], axis=0)
-        same = (xf == prev) | (jnp.isnan(xf) & jnp.isnan(prev))
-        # run length of consecutive "same" — a run of k sames = k+1 equal values
-        cs = cumsum_reset(same, axis=0, index="last")
-        # mark whole run: backward max of (cs >= window-1) within the equality run
-        hit = cs >= (window - 1)
-        # propagate hit backwards across the run of sames (and one before)
-        def stepb(carry, inp):
-            h, s = inp
-            out = h | (carry & s)
-            return out, out
+    prev = jnp.concatenate([jnp.full_like(xf[:1], jnp.nan), xf[:-1]], axis=0)
+    same = xf == prev
+    # run length of consecutive "same" — a run of k sames = k+1 equal values
+    cs = cumsum_reset(same, axis=0, index="last")
+    # mark whole run: backward max of (cs >= window-1) within the equality run
+    hit = cs >= (window - 1)
+    if thresh is not None:
+        ops = {">": operator.gt, ">=": operator.ge, "<": operator.lt,
+               "<=": operator.le, "==": operator.eq, "!=": operator.ne}
+        # the run's value is constant, so an elementwise filter at the hit
+        # position reflects the whole run
+        hit = hit & ops[op](xf, thresh)
 
-        init = jnp.zeros(xf.shape[1:], dtype=bool)
-        _, back = jax.lax.scan(stepb, init, (jnp.flip(hit, 0), jnp.flip(same, 0)))
-        back = jnp.flip(back, 0)
-        # also flag the first element of the run (predecessor of first 'same')
-        nxt = jnp.concatenate([back[1:] & same[1:], jnp.zeros_like(back[:1])], axis=0)
-        out = back | nxt
-    else:
-        import operator
+    # propagate hit backwards across the run of sames (and one before)
+    def stepb(carry, inp):
+        h, s = inp
+        out = h | (carry & s)
+        return out, out
 
-        ops = {">": operator.gt, ">=": operator.ge, "<": operator.lt, "<=": operator.le,
-               "!=": operator.ne}
-        b = ops[op](xf, 0)
-        cs = cumsum_reset(b, axis=0, index="last")
-        hit = cs >= window
-
-        def stepb(carry, inp):
-            h, s = inp
-            out = h | (carry & s)
-            return out, out
-
-        init = jnp.zeros(xf.shape[1:], dtype=bool)
-        _, back = jax.lax.scan(stepb, init, (jnp.flip(hit, 0), jnp.flip(b, 0)))
-        out = jnp.flip(back, 0)
+    init = jnp.zeros(xf.shape[1:], dtype=bool)
+    _, back = jax.lax.scan(stepb, init, (jnp.flip(hit, 0), jnp.flip(same, 0)))
+    back = jnp.flip(back, 0)
+    # also flag the first element of the run (predecessor of first 'same')
+    nxt = jnp.concatenate([back[1:] & same[1:], jnp.zeros_like(back[:1])], axis=0)
+    out = back | nxt
     return jnp.moveaxis(out, 0, axis)

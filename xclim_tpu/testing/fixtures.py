@@ -39,10 +39,15 @@ def timeseries():
     return test_timeseries
 
 
-def _series_fixture(variable, units=None):
+def _series_fixture(variable, units=None, start="2000-07-01"):
+    """Default start matches the reference's test_timeseries
+    (xclim:src/xclim/testing/helpers.py:166, "2000-07-01"); the pr/q/swe
+    fixtures override it to "1/1/2000" exactly as the reference conftest does
+    (xclim:tests/conftest.py:136,:160,:335)."""
+
     @pytest.fixture(name=f"{variable}_series")
     def _fix():
-        def _make(values, start="2000-01-01", freq="D", calendar="standard",
+        def _make(values, start=start, freq="D", calendar="standard",
                   units=units):
             return test_timeseries(values, variable=variable, start=start,
                                    freq=freq, calendar=calendar, units=units)
@@ -55,11 +60,11 @@ def _series_fixture(variable, units=None):
 tas_series = _series_fixture("tas")
 tasmax_series = _series_fixture("tasmax")
 tasmin_series = _series_fixture("tasmin")
-pr_series = _series_fixture("pr")
+pr_series = _series_fixture("pr", start="2000-01-01")
 prsn_series = _series_fixture("prsn")
-q_series = _series_fixture("q")
+q_series = _series_fixture("q", start="2000-01-01")
 snd_series = _series_fixture("snd")
 snw_series = _series_fixture("snw")
 hurs_series = _series_fixture("hurs")
-sfcWind_series = _series_fixture("sfcWind")
+sfcWind_series = _series_fixture("sfcWind", units="km h-1")
 evspsblpot_series = _series_fixture("evspsblpot")
