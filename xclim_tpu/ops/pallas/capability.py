@@ -29,6 +29,26 @@ __all__ = ["pallas_mode", "set_pallas_mode", "mosaic_supported",
 
 _MODE: str | None = None
 
+_PROBE_TRIES = 2  # tunnel remote-compile HTTP 500s are transient; retry once
+
+
+def _retry_probe(fn) -> bool:
+    """Run a probe body up to ``_PROBE_TRIES`` times.
+
+    A flaky remote compile must not silently demote the whole process to the
+    XLA fallback paths (round 3: one transient HTTP 500 during the
+    winquantile probe sent the 16k-cell QDM config into the fallback's
+    23.7 GB windowed gather and OOMed the chip)."""
+    last = False
+    for _ in range(_PROBE_TRIES):
+        try:
+            last = bool(fn())
+        except Exception:
+            last = False
+        if last:
+            return True
+    return last
+
 #: how many spell-statistic calls went through each path this process —
 #: read by bench.py so the benchmark records which engine actually ran
 dispatch_counts = {"pallas": 0, "xla": 0}
@@ -69,7 +89,8 @@ def _probe_mosaic() -> bool:
     marker = _probe_cache_path()
     if marker and os.path.exists(marker):
         return True
-    try:
+
+    def body():
         import numpy as np
 
         from xclim_tpu.core.calendar import date_range, resample_segments
@@ -81,13 +102,13 @@ def _probe_mosaic() -> bool:
         x[3:5, :] = np.nan
         cnt, _, _, _ = fused_spell_stats(x, spec, thresh=0.5, window=2,
                                          op=">")
-        ok = bool(np.asarray(cnt)[0, 0] == 6.0)  # 8 days − 2 NaN
-        if ok and marker:
-            with open(marker, "w") as f:
-                f.write("ok\n")
-        return ok
-    except Exception:
-        return False
+        return bool(np.asarray(cnt)[0, 0] == 6.0)  # 8 days − 2 NaN
+
+    ok = _retry_probe(body)
+    if ok and marker:
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return ok
 
 
 _WQ_OK: bool | None = None
@@ -101,7 +122,8 @@ def _probe_winquantile() -> bool:
     marker = marker + "_wq" if marker else None
     if marker and os.path.exists(marker):
         return True
-    try:
+
+    def body():
         import numpy as np
 
         from xclim_tpu.ops.pallas.winquantile import (
@@ -113,13 +135,13 @@ def _probe_winquantile() -> bool:
         q = np.array([0.1, 0.9], np.float32)
         a = np.asarray(doy_window_quantiles(x, q, 5, db=8))
         b = np.asarray(doy_window_quantiles_xla(x, q, 5))
-        ok = bool(np.allclose(a, b, rtol=1e-5, atol=1e-5, equal_nan=True))
-        if ok and marker:
-            with open(marker, "w") as f:
-                f.write("ok\n")
-        return ok
-    except Exception:
-        return False
+        return bool(np.allclose(a, b, rtol=1e-5, atol=1e-5, equal_nan=True))
+
+    ok = _retry_probe(body)
+    if ok and marker:
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return ok
 
 
 def winquantile_supported() -> bool:
@@ -147,7 +169,8 @@ def _probe_segred() -> bool:
     marker = marker + "_sr" if marker else None
     if marker and os.path.exists(marker):
         return True
-    try:
+
+    def body():
         import numpy as np
 
         from xclim_tpu.core.calendar import date_range, resample_segments
@@ -167,13 +190,13 @@ def _probe_segred() -> bool:
             b = np.asarray(_xla_sr(x, spec, op, axis=0, _no_pallas=True))
             oks.append(np.allclose(a, b, rtol=1e-5, atol=1e-5,
                                    equal_nan=True))
-        ok = all(bool(v) for v in oks)
-        if ok and marker:
-            with open(marker, "w") as f:
-                f.write("ok\n")
-        return ok
-    except Exception:
-        return False
+        return all(bool(v) for v in oks)
+
+    ok = _retry_probe(body)
+    if ok and marker:
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return ok
 
 
 def segred_supported() -> bool:
@@ -201,7 +224,8 @@ def _probe_axisquantile() -> bool:
     marker = marker + "_aq" if marker else None
     if marker and os.path.exists(marker):
         return True
-    try:
+
+    def body():
         import numpy as np
 
         from xclim_tpu.ops.pallas.axisquantile import axis_quantile_small
@@ -220,13 +244,13 @@ def _probe_axisquantile() -> bool:
                                         _no_pallas=True))
             oks.append(np.allclose(a, b, rtol=1e-5, atol=1e-5,
                                    equal_nan=True))
-        ok = all(bool(v) for v in oks)
-        if ok and marker:
-            with open(marker, "w") as f:
-                f.write("ok\n")
-        return ok
-    except Exception:
-        return False
+        return all(bool(v) for v in oks)
+
+    ok = _retry_probe(body)
+    if ok and marker:
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return ok
 
 
 _QA_OK: bool | None = None
@@ -239,7 +263,8 @@ def _probe_qdmadjust() -> bool:
     marker = marker + "_qa" if marker else None
     if marker and os.path.exists(marker):
         return True
-    try:
+
+    def body():
         import jax.numpy as jnp
         import numpy as np
 
@@ -259,14 +284,14 @@ def _probe_qdmadjust() -> bool:
         af_v = interp_hat_nodes(grouped_rank(gj, nv), jnp.asarray(q),
                                 jnp.asarray(af))
         exp = np.asarray(gj + af_v)
-        ok = (np.isnan(got) == np.isnan(exp)).all() and np.allclose(
-            got[~np.isnan(exp)], exp[~np.isnan(exp)], rtol=1e-4, atol=1e-4)
-        if ok and marker:
-            with open(marker, "w") as f:
-                f.write("ok\n")
-        return bool(ok)
-    except Exception:
-        return False
+        return bool((np.isnan(got) == np.isnan(exp)).all() and np.allclose(
+            got[~np.isnan(exp)], exp[~np.isnan(exp)], rtol=1e-4, atol=1e-4))
+
+    ok = _retry_probe(body)
+    if ok and marker:
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return ok
 
 
 def qdmadjust_supported() -> bool:
