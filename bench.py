@@ -553,9 +553,9 @@ def bench_all():
                 "note": "copy touches HBM 2x (r+w); segment mean reads 1x "
                         "with a negligible write"}
 
-    def cfg_ensembles():
-        ny, nx = 128, 256  # ~continental 0.25 deg
-        base5 = _baseline_block("ensembles", ny=ny, nx=nx)
+    def cfg_ensembles(ny=128, nx=256):
+        pin = "ensembles" if (ny, nx) == (128, 256) else f"ensembles_{ny}x{nx}"
+        base5 = _baseline_block("ensembles", pin=pin, ny=ny, nx=nx)
         from xclim_tpu.core.dataarray import concat
         from xclim_tpu.ensembles import ensemble_percentiles, robustness_fractions
 
@@ -569,15 +569,22 @@ def bench_all():
         hist_ = ens.isel(time=slice(0, 182))
         _sync_scalar(fut.data)
 
+        # percentiles + robustness as ONE XLA program (climjit — the
+        # intended usage pattern, same as the fused CLI chain): eager calls
+        # paid 2-4 tunnel dispatch floors per iteration
+        def fused(e, f, h):
+            p = ensemble_percentiles(e, values=[10, 50, 90])
+            rf = robustness_fractions(f, h, test="ttest")
+            return (p[10.0], p[50.0], p[90.0], rf["changed"])
+
+        g = climjit(fused)
+
         def ens_once():
-            p = ensemble_percentiles(ens, values=[10, 50, 90])
-            rf = robustness_fractions(fut, hist_, test="ttest")
-            return p, rf["changed"]
+            return g(ens, fut, hist_)
 
         def sync(r):
-            p, c = r
-            _sync_scalar(next(iter(p.values())))
-            _sync_scalar(c)
+            # one program: any output completing bounds the whole program
+            _sync_scalar(r[0].data)
 
         med, ts = _median5(ens_once, sync=sync)
         cd = 30 * 365 * ny * nx
@@ -586,7 +593,10 @@ def bench_all():
                 "unit": "member-cell-days/s",
                 "vs_baseline": round(cd / med / base5["est_64core_cd_s"], 2),
                 "baseline": base5,
-                "runs_ms": [round(x * 1e3, 1) for x in ts]}
+                "runs_ms": [round(x * 1e3, 1) for x in ts],
+                "note": ("128x256 pays the tunnel dispatch floor; the "
+                         "saturated size shows kernel throughput"
+                         if (ny, nx) == (128, 256) else "saturated grid")}
 
     configs = [("tg_mean 64", lambda: cfg_tg_mean(64)),
                ("tg_mean 512", lambda: cfg_tg_mean(512)),
@@ -597,7 +607,8 @@ def bench_all():
                ("tx90p bootstrap", cfg_bootstrap),
                ("QDM 1k", lambda: cfg_qdm(32)),
                ("QDM 16k", lambda: cfg_qdm(128)),
-               ("ensembles", cfg_ensembles),
+               ("ensembles", lambda: cfg_ensembles(128, 256)),
+               ("ensembles 192x448", lambda: cfg_ensembles(192, 448)),
                ("roofline", cfg_roofline)]
     import gc
 

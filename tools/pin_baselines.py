@@ -30,7 +30,25 @@ CONFIGS = {
                             kw=dict(sample_years=30, reps=1)),
     "qdm": dict(fn="qdm", kw=dict(sample_doys=365, reps=1)),
     "ensembles": dict(fn="ensembles", kw=dict(ny=128, nx=256, reps=3)),
+    "ensembles_192x448": dict(fn="ensembles", kw=dict(ny=192, nx=448, reps=2)),
 }
+
+
+def pin_one(name: str):
+    """Measure and merge a single config into BASELINE_MEASURED.json."""
+    cfg = CONFIGS[name]
+    cd_s, sec, frac = baselines.ALL[cfg["fn"]](**cfg["kw"])
+    path = Path(__file__).resolve().parent.parent / "BASELINE_MEASURED.json"
+    data = json.loads(path.read_text()) if path.exists() else {}
+    data[name] = {
+        "numpy_1core_cd_s": round(cd_s, 1),
+        "numpy_seconds": round(sec, 3),
+        "fraction_measured": frac,
+        "est_64core_cd_s": round(cd_s * EFFICIENCY, 1),
+    }
+    with open(path, "w") as f:
+        json.dump(data, f, indent=2)
+    print(f"{name}: {cd_s:,.0f} cd/s 1-core ({sec:.2f}s); merged into {path}")
 
 
 def main():
@@ -52,4 +70,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1:
+        pin_one(sys.argv[1])
+    else:
+        main()
