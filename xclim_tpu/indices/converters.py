@@ -358,13 +358,95 @@ _DAI_COEFS = {
     ("rain", "dai_annual", False): (-47.3041, -0.4263, 2.5687, 1.0784),
 }
 
+#: per-season (a, b, c, d) rows x [DJF, MAM, JJA, SON] columns (Dai 2008;
+#: xclim:converters.py:1206-1236 snow, :1330-1352 rain)
+_DAI_SEASONAL = {
+    ("snow", True): np.array([
+        [-48.2372, -48.2493, -46.4000, -48.3251],
+        [0.7449, 0.6634, 0.7013, 0.7798],
+        [1.0919, 1.3388, 0.8362, 1.1502],
+        [1.0209, 1.0270, 1.0217, 1.0180]]),
+    ("snow", False): np.array([
+        [-47.1823, -47.0035, -47.1472, -46.8494],
+        [0.4003, 0.4090, 0.4049, 0.4162],
+        [2.1735, 1.7372, 1.9280, 2.0474],
+        [1.0255, 1.0226, 1.0203, 1.0155]]),
+    ("rain", True): np.array([
+        [-47.5770, -47.9077, -46.8303, -48.0315],
+        [-0.6856, -0.6603, -0.6595, -0.7663],
+        [1.3942, 1.6927, 1.1582, 1.4640],
+        [1.0438, 1.0358, 1.1056, 1.0412]]),
+    ("rain", False): np.array([
+        [-47.0262, -47.2828, -47.3041, -47.2107],
+        [-0.4360, -0.4299, -0.4263, -0.4280],
+        [2.8572, 2.3397, 2.5687, 2.7118],
+        [1.0731, 1.0800, 1.0784, 1.0911]]),
+}
+
+
+def _season_index(time) -> np.ndarray:
+    """Per-timestep meteorological season index: DJF=0 MAM=1 JJA=2 SON=3."""
+    m = np.asarray(time.month)
+    return np.where((m == 12) | (m <= 2), 0,
+                    np.where(m <= 5, 1, np.where(m <= 8, 2, 3))).astype(np.int32)
+
+
+def _dai_fraction(kind: str, tas_da: ClimArray, method: str, clip_temp,
+                  landmask) -> jnp.ndarray:
+    """Snow/rain phase fraction by the Dai (2008) tanh fits
+    (xclim:converters.py:1199-1245 snow / :1321-1372 rain).
+
+    ``landmask`` may be a bool (one coefficient set everywhere) or a
+    ClimArray land mask without a time dim (land/ocean sets blended per
+    point, the reference's xr.where recursion)."""
+    if not isinstance(landmask, bool):
+        fl = _dai_fraction(kind, tas_da, method, clip_temp, True)
+        fo = _dai_fraction(kind, tas_da, method, clip_temp, False)
+        md = landmask.data if isinstance(landmask, ClimArray) else \
+            jnp.asarray(landmask)
+        # the mask has no time dim: align its dims to the tail of the data
+        md = md.reshape((1,) * (fl.ndim - md.ndim) + md.shape)
+        return jnp.where(md, fl, fo)
+    tdeg = convert_units_to(tas_da, "degC").data
+    if method == "dai_annual":
+        a, b, c, d = _DAI_COEFS[(kind, "dai_annual", landmask)]
+    elif method == "dai_seasonal":
+        tab = _DAI_SEASONAL[(kind, landmask)]  # (4 coeffs, 4 seasons)
+        sidx = _season_index(tas_da.time)
+        bshape = [1] * tas_da.ndim
+        bshape[tas_da.time_axis] = len(sidx)
+        a, b, c, d = (jnp.asarray(tab[i], jnp.float32)[sidx].reshape(bshape)
+                      for i in range(4))
+    else:
+        raise ValueError(f"Unknown method {method} for {kind} approximation.")
+
+    def frac_fn(tt):
+        return a * (jnp.tanh(b * (tt - c)) - d) / 100
+
+    frac = frac_fn(tdeg)
+    if clip_temp is not None:
+        clip = convert_units_to(str2pint(clip_temp), "degC")
+        # rescale so the fraction saturates at ±clip (xclim team addition);
+        # the hot/cold ends swap between the snow and rain fits
+        lo, hi = (clip, -clip) if kind == "snow" else (-clip, clip)
+        fmin = frac_fn(lo)
+        fmax = frac_fn(hi)
+        frac = (frac - fmin) / (fmax - fmin)
+    return jnp.clip(frac, 0, 1)
+
 
 @declare_units(pr="[precipitation]", tas="[temperature]", thresh="[temperature]")
 def snowfall_approximation(pr: ClimArray, tas: ClimArray, thresh: str = "0 degC",
                            method: str = "binary", clip_temp=None,
-                           landmask: bool = True) -> ClimArray:
+                           landmask=True) -> ClimArray:
     """Approximate snowfall flux from total precipitation and temperature
-    (xclim:converters.py:1088). Methods: binary / brown / auer / dai_annual."""
+    (xclim:converters.py:1088).
+
+    Methods: binary / brown / auer / dai_annual / dai_seasonal. For the
+    ``dai_*`` methods ``landmask`` may be a ClimArray land mask (land/ocean
+    coefficient sets blended per point); unlike the reference's recursion
+    (xclim:converters.py:1242-1246, which drops ``clip_temp``), the blend
+    here keeps the clip rescaling in both branches."""
     if method == "binary":
         thresh_v = convert_units_to(str2pint(thresh), tas)
         prsn = pr.where(tas <= thresh_v, 0.0)
@@ -384,20 +466,9 @@ def snowfall_approximation(pr: ClimArray, tas: ClimArray, thresh: str = "0 degC"
         snow_frac = jnp.clip(snow_pct, 0.0, 100.0) / 100.0
         snow_frac = jnp.where(dt < 0, 1.0, jnp.where(dt >= 6, 0.0, snow_frac))
         prsn = pr.copy(data=pr.data * snow_frac)
-    elif method == "dai_annual":
-        a, b, c, d = _DAI_COEFS[("snow", "dai_annual", bool(landmask))]
-        tdeg = convert_units_to(tas, "degC").data
-
-        def frac_fn(tt):
-            return a * (jnp.tanh(b * (tt - c)) - d) / 100
-
-        frac = frac_fn(tdeg)
-        if clip_temp is not None:
-            clip = convert_units_to(str2pint(clip_temp), "degC")
-            fmin = frac_fn(clip)
-            fmax = frac_fn(-clip)
-            frac = (frac - fmin) / (fmax - fmin)
-        prsn = pr.copy(data=pr.data * jnp.clip(frac, 0, 1))
+    elif method in ("dai_annual", "dai_seasonal"):
+        frac = _dai_fraction("snow", tas, method, clip_temp, landmask)
+        prsn = pr.copy(data=pr.data * frac)
     else:
         raise ValueError(f"Method {method!r} not supported.")
     prsn.attrs = dict(pr.attrs)
@@ -409,23 +480,13 @@ def snowfall_approximation(pr: ClimArray, tas: ClimArray, thresh: str = "0 degC"
 @declare_units(pr="[precipitation]", tas="[temperature]", thresh="[temperature]")
 def rain_approximation(pr: ClimArray, tas: ClimArray, thresh: str = "0 degC",
                        method: str = "binary", clip_temp=None,
-                       landmask: bool = True) -> ClimArray:
-    """Liquid precipitation = pr − snowfall approximation
-    (xclim:converters.py:1255)."""
-    if method == "dai_annual":
-        a, b, c, d = _DAI_COEFS[("rain", "dai_annual", bool(landmask))]
-        tdeg = convert_units_to(tas, "degC").data
-
-        def frac_fn(tt):
-            return a * (jnp.tanh(b * (tt - c)) - d) / 100
-
-        frac = frac_fn(tdeg)
-        if clip_temp is not None:
-            clip = convert_units_to(str2pint(clip_temp), "degC")
-            fmax = frac_fn(clip)
-            fmin = frac_fn(-clip)
-            frac = (frac - fmin) / (fmax - fmin)
-        prlp = pr.copy(data=pr.data * jnp.clip(frac, 0, 1))
+                       landmask=True) -> ClimArray:
+    """Liquid precipitation = pr − snowfall approximation (binary/brown/auer)
+    or the direct Dai (2008) rain-fraction fits (dai_annual/dai_seasonal;
+    xclim:converters.py:1255)."""
+    if method in ("dai_annual", "dai_seasonal"):
+        frac = _dai_fraction("rain", tas, method, clip_temp, landmask)
+        prlp = pr.copy(data=pr.data * frac)
     else:
         prsn = snowfall_approximation(pr, tas, thresh=thresh, method=method)
         prlp = pr.copy(data=pr.data - prsn.data)
@@ -594,69 +655,169 @@ def potential_evapotranspiration(tasmin: ClimArray | None = None,
                                  pr: ClimArray | None = None,
                                  method: str = "BR65", peta: float = 0.00516409319477,
                                  petb: float = 0.0874972822289) -> ClimArray:
-    """Potential evapotranspiration by 4 methods: Baier-Robertson 65,
-    Hargreaves 85, McGuinness-Bordne 05, FAO-PM 98 (xclim:converters.py:1890)."""
+    """Potential evapotranspiration by 6 methods: Baier-Robertson 65,
+    Hargreaves 85, Droogers-Allen 02, McGuinness-Bordne 05, Thornthwaite 48,
+    FAO-PM 98 (xclim:converters.py:1890-2152).
+
+    TW48 and DA02 are monthly formulations: the output time axis is the
+    input's ``MS`` resampling (mm/month internally, converted to a flux by
+    the actual month durations — the reference's amount2rate tail,
+    xclim:converters.py:2149-2152).
+
+    ``lat`` may be a scalar, an array aligned with the input grid, or an
+    array introducing NEW dims (1-D series × lat vector): in the last case
+    the output broadcasts to ``('time', *input spatial dims, *lat dims)``,
+    matching the reference's xarray alignment semantics."""
+    from xclim_tpu.core.calendar import date_range, resample_segments
+    from xclim_tpu.core.units import amount2rate
     from xclim_tpu.indices.helpers import (
+        _lat_flat,
         extraterrestrial_solar_radiation,
+        day_lengths,
         wind_speed_height_conversion,
     )
+    from xclim_tpu.ops.segments import segment_reduce
 
     anyvar = tas if tas is not None else tasmin
     if lat is None:
         lat = anyvar.coords.get("lat", 45.0)
 
-    def _ra(units):
-        ra = extraterrestrial_solar_radiation(anyvar.time, lat)
-        ra = convert_units_to(ra, units)
-        d = ra.data
-        if anyvar.ndim > ra.ndim:
-            d = d.reshape(d.shape + (1,) * (anyvar.ndim - ra.ndim))
+    # broadcast layout: lat dims not already carried by the inputs become
+    # trailing output dims (the reference broadcasts via xarray alignment)
+    _, lat_dims, lat_coords, lat_shape, lat_scalar = _lat_flat(lat)
+    new_lat_dims = () if lat_scalar or set(lat_dims) <= set(anyvar.dims) \
+        else tuple(lat_dims)
+    n_new = len(new_lat_dims)
+
+    def _b(d):
+        """Input data → broadcast shape (trailing singleton lat axes)."""
+        return d.reshape(d.shape + (1,) * n_new) if n_new else d
+
+    def _solar(sol, ndim=None):
+        """Solar-geometry ClimArray → data aligned to the output layout."""
+        nd = (anyvar.ndim if ndim is None else ndim) + n_new
+        d = sol.data
+        if n_new:
+            # (T, *lat_shape) → (T, *input-spatial 1s, *lat_shape)
+            d = d.reshape(d.shape[:1] + (1,) * (nd - d.ndim) + d.shape[1:])
+        elif nd > d.ndim:
+            d = d.reshape(d.shape + (1,) * (nd - d.ndim))
         return d
 
+    def _ra(units, time=None, solar_constant="1361 W m-2", ndim=None):
+        ra = extraterrestrial_solar_radiation(
+            time if time is not None else anyvar.time, lat,
+            solar_constant=solar_constant)
+        ra = convert_units_to(ra, units)
+        return _solar(ra, ndim=ndim)
+
+    out_time = anyvar.time
+    monthly = False
+
     if method in ("baierrobertson65", "BR65"):
-        tn = convert_units_to(tasmin, "degF").data
-        tx = convert_units_to(tasmax, "degF").data
+        tn = _b(convert_units_to(tasmin, "degF").data)
+        tx = _b(convert_units_to(tasmax, "degF").data)
         re = _ra("cal cm-2 day-1")
         pet = 0.094 * (-87.03 + 0.928 * tx + 0.933 * (tx - tn) + 0.0486 * re)
         pet = jnp.clip(pet, 0)
     elif method in ("hargreaves85", "HG85"):
-        tn = convert_units_to(tasmin, "degC").data
-        tx = convert_units_to(tasmax, "degC").data
-        tg = (tn + tx) / 2 if tas is None else convert_units_to(tas, "degC").data
+        tn = _b(convert_units_to(tasmin, "degC").data)
+        tx = _b(convert_units_to(tasmax, "degC").data)
+        tg = (tn + tx) / 2 if tas is None else \
+            _b(convert_units_to(tas, "degC").data)
         ra = _ra("MJ m-2 d-1") * 0.408
         pet = 0.0023 * ra * (tg + 17.8) * jnp.sqrt(jnp.maximum(tx - tn, 0))
         pet = jnp.clip(pet, 0)
+    elif method in ("droogersallen02", "DA02"):
+        # monthly Hargreaves variant with a precipitation correction
+        # (xclim:converters.py:2029-2059); all terms resampled to MS
+        monthly = True
+        taxis = anyvar.time_axis
+        mspec = resample_segments(anyvar.time, "MS")
+        out_time = mspec.labels
+        tn = _b(convert_units_to(tasmin, "degC").data)
+        tx = _b(convert_units_to(tasmax, "degC").data)
+        tg = (tn + tx) / 2 if tas is None else \
+            _b(convert_units_to(tas, "degC").data)
+        prm = _b(convert_units_to(pr, "mm/month", context="hydro").data)
+        tn_m = segment_reduce(tn, mspec, "mean", axis=taxis)
+        tx_m = segment_reduce(tx, mspec, "mean", axis=taxis)
+        tg_m = segment_reduce(tg, mspec, "mean", axis=taxis)
+        pr_m = segment_reduce(prm, mspec, "mean", axis=taxis)
+        # monthly accumulated radiation over the full calendar months
+        t0 = anyvar.time
+        time_d = date_range(f"{t0.year[0]:04d}-{t0.month[0]:02d}-01",
+                            end=_month_end_iso(t0),
+                            freq="D", calendar=t0.calendar)
+        dspec = resample_segments(time_d, "MS")
+        ra_d = _ra("MJ m-2 d-1", time=time_d)
+        ra_m = segment_reduce(ra_d, dspec, "sum", axis=0) * 0.408
+        tr = jnp.maximum(tx_m - tn_m, 0.0)
+        ab = tr - 0.0123 * pr_m
+        abp = ab ** 0.76
+        pet = 0.0013 * ra_m * (tg_m + 17.0) * abp
+        pet = jnp.where(jnp.isnan(abp), 0.0, pet)
+        pet = jnp.clip(pet, 0)  # mm/month
     elif method in ("mcguinnessbordne05", "MB05"):
         if tas is None:
-            tg = (convert_units_to(tasmin, "degC").data
-                  + convert_units_to(tasmax, "degC").data) / 2
+            tg = (_b(convert_units_to(tasmin, "degC").data)
+                  + _b(convert_units_to(tasmax, "degC").data)) / 2
         else:
-            tg = convert_units_to(tas, "degC").data
+            tg = _b(convert_units_to(tas, "degC").data)
         tasK = tg + 273.15
-        ext = extraterrestrial_solar_radiation(anyvar.time, lat,
-                                               solar_constant="1367 W m-2")
-        ext_d = ext.data
-        if anyvar.ndim > ext.ndim:
-            ext_d = ext_d.reshape(ext_d.shape + (1,) * (anyvar.ndim - ext.ndim))
+        ext_d = _ra("W m-2", solar_constant="1367 W m-2")
         latentH = 4185.5 * (751.78 - 0.5655 * tasK)
         radDIVlat = ext_d / latentH  # kg m-2 s-1 equivalent
         pet = (radDIVlat * peta * tg + radDIVlat * petb) * 86400  # mm/day-ish
+    elif method in ("thornthwaite48", "TW48"):
+        # monthly day-length-weighted heat-index formulation
+        # (xclim:converters.py:2082-2115)
+        monthly = True
+        taxis = anyvar.time_axis
+        if tas is None:
+            tg = (_b(convert_units_to(tasmin, "degC").data)
+                  + _b(convert_units_to(tasmax, "degC").data)) / 2
+        else:
+            tg = _b(convert_units_to(tas, "degC").data)
+        tg = jnp.clip(tg, 0)
+        mspec = resample_segments(anyvar.time, "MS")
+        out_time = mspec.labels
+        tas_m = segment_reduce(tg, mspec, "mean", axis=taxis)
+        # mean monthly day length in half-days, over full calendar months
+        t0 = anyvar.time
+        time_d = date_range(f"{t0.year[0]:04d}-{t0.month[0]:02d}-01",
+                            end=_month_end_iso(t0),
+                            freq="D", calendar=t0.calendar)
+        dspec = resample_segments(time_d, "MS")
+        dl = _solar(day_lengths(time_d, lat)) / 12.0
+        dl_m = segment_reduce(dl, dspec, "mean", axis=0)
+        # annual heat index I = sum of monthly (t/5)^1.514, spread back onto
+        # each month of its year via the static year map
+        yspec = resample_segments(out_time, "YS")
+        id_m = (tas_m / 5.0) ** 1.514
+        id_y = segment_reduce(id_m, yspec, "sum", axis=taxis)
+        id_ym = jnp.take(id_y, jnp.asarray(np.asarray(yspec.seg_id)),
+                         axis=taxis)
+        a = (6.75e-7 * id_ym ** 3 - 7.71e-5 * id_ym ** 2
+             + 0.01791 * id_ym + 0.49239)
+        frac = (10.0 * tas_m / id_ym) ** a
+        pet = 16.0 * dl_m * frac  # 1.6 cm/month × 10 → mm/month
     elif method in ("allen98", "FAO_PM98"):
         tx = convert_units_to(tasmax, "degC")
         tn = convert_units_to(tasmin, "degC")
-        h = convert_units_to(hurs, "1").data
+        h = _b(convert_units_to(hurs, "1").data)
         if sfcWind is None:
             raise ValueError("Wind speed is required for the FAO-PM98 method.")
         wa2 = wind_speed_height_conversion(sfcWind, "10 m", "2 m")
-        wa2 = convert_units_to(wa2, "m s-1").data
-        tg = (tx.data + tn.data) / 2
-        es = 0.5 * (saturation_vapor_pressure(tx).data
-                    + saturation_vapor_pressure(tn).data) / 1000.0  # kPa
+        wa2 = _b(convert_units_to(wa2, "m s-1").data)
+        tg = _b((tx.data + tn.data) / 2)
+        es = _b(0.5 * (saturation_vapor_pressure(tx).data
+                       + saturation_vapor_pressure(tn).data) / 1000.0)  # kPa
         ea = es * h
         delta = 4098 * es / (tg + 237.3) ** 2  # kPa/degC
         rn = convert_units_to(rsds, "W m-2").data - convert_units_to(rsus, "W m-2").data \
             - (convert_units_to(rlus, "W m-2").data - convert_units_to(rlds, "W m-2").data)
-        rn_mj = rn * 0.0864  # W m-2 → MJ m-2 day-1
+        rn_mj = _b(rn) * 0.0864  # W m-2 → MJ m-2 day-1
         gamma = 0.665e-3 * 101.325
         tasK = tg + 273.15
         a1 = 0.408 * delta * rn_mj
@@ -665,12 +826,34 @@ def potential_evapotranspiration(tasmin: ClimArray | None = None,
         pet = (a1 + a2) / a3  # mm/day
     else:
         raise NotImplementedError(f"method {method!r} not implemented")
-    out = anyvar.copy(data=pet)
-    out.attrs = {"units": "mm/d"}
-    res = convert_units_to(out, "kg m-2 s-1", context="hydro")
-    res.name = "evspsblpot"
-    res.attrs["standard_name"] = "water_potential_evapotranspiration_flux"
-    return res
+
+    out_dims = anyvar.dims + new_lat_dims
+    out_coords = dict(anyvar.coords)
+    out_coords["time"] = out_time
+    for k, v in lat_coords.items():
+        out_coords.setdefault(k, v)
+    out = ClimArray(pet, out_dims, out_coords, {}, anyvar.name)
+    if monthly:
+        # mm/month amounts → flux by the actual month durations
+        out.attrs = {"units": "mm"}
+        out = amount2rate(out, out_units="kg m-2 s-1")
+    else:
+        out.attrs = {"units": "mm/d"}
+        out = convert_units_to(out, "kg m-2 s-1", context="hydro")
+    out.name = "evspsblpot"
+    out.attrs["standard_name"] = "water_potential_evapotranspiration_flux"
+    return out
+
+
+def _month_end_iso(time) -> str:
+    """ISO date of the last day of `time`'s final month (for reconstructing
+    the daily axis behind a monthly series; xclim:converters.py:1798)."""
+    from xclim_tpu.core.calendar import days_in_month
+
+    y = int(time.year[-1])
+    m = int(time.month[-1])
+    d = int(days_in_month(y, m, time.calendar))
+    return f"{y:04d}-{m:02d}-{d:02d}"
 
 
 def _utci_poly(ta, va, dtm, pa):
@@ -805,10 +988,18 @@ def water_budget(pr: ClimArray, evspsblpot: ClimArray | None = None,
         pet = potential_evapotranspiration(tasmin=tasmin, tasmax=tasmax, tas=tas,
                                            lat=lat, hurs=hurs, rsds=rsds, rsus=rsus,
                                            rlds=rlds, rlus=rlus, sfcWind=sfcWind,
-                                           method=method)
+                                           pr=pr, method=method)
     else:
         pet = convert_units_to(evspsblpot, "kg m-2 s-1", context="hydro")
-    out = prx.copy(data=prx.data - pet.data)
+    prd = prx.data
+    if pet.ndim > prd.ndim:
+        # PET gained lat dims by broadcasting (array lat × 1-D series):
+        # align pr with trailing singletons and keep PET's layout
+        prd = prd.reshape(prd.shape + (1,) * (pet.ndim - prd.ndim))
+        out = pet.copy(data=prd - pet.data)
+    else:
+        out = prx.copy(data=prd - pet.data)
+    out.attrs = dict(prx.attrs)
     out.attrs["units"] = "kg m-2 s-1"
     out.name = "water_budget"
     return out
