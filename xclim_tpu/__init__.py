@@ -8,7 +8,7 @@ kernels batched over the spatial grid, with `jax.sharding` replacing dask.
 __version__ = "0.1.0"
 
 from xclim_tpu.core.options import set_options  # noqa: F401
-from xclim_tpu.core.jit_wrapper import climjit  # noqa: F401
+from xclim_tpu.core.jit_wrapper import climjit, climjit_chain  # noqa: F401
 
 from xclim_tpu.core import units  # noqa: F401
 from xclim_tpu import indices  # noqa: F401

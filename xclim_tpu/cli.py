@@ -52,27 +52,30 @@ def _process_indicator(ctx, ind, **params):
 
 
 def _run_fused(ctx):
-    """Execute every deferred indicator of a --fused chain in one jitted
-    program; falls back to per-indicator eager execution if the chain is
-    not jointly traceable."""
-    from xclim_tpu import climjit
+    """Execute every deferred indicator of a --fused chain in as few jitted
+    programs as the backend accepts (climjit_chain bisects the chain on
+    program-size failures); falls back to per-indicator eager execution if
+    the chain is not jointly traceable."""
+    from xclim_tpu import climjit_chain
 
     pending = ctx.obj.get("pending") or []
     if not pending:
         return
     ds = ctx.obj["ds_in"]
 
-    def chain(d):
-        outs = []
-        for ind, kwargs in pending:
-            o = ind(ds=d, **kwargs)
-            outs.extend(o if isinstance(o, tuple) else (o,))
-        return tuple(outs)
+    def make_step(ind, kwargs):
+        def step(d):
+            return ind(ds=d, **kwargs)
+        return step
 
+    steps = [make_step(ind, kwargs) for ind, kwargs in pending]
     try:
-        outs = climjit(chain)(ds)
+        outs = climjit_chain(steps)(ds)
     except Exception:
-        outs = chain(ds)
+        outs = []
+        for s in steps:
+            o = s(ds)
+            outs.extend(o if isinstance(o, tuple) else (o,))
     ds_out = ctx.obj.setdefault("ds_out", ClimDataset())
     for o in outs:
         ds_out[o.name] = o

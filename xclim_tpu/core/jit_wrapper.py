@@ -25,7 +25,20 @@ import numpy as np
 from xclim_tpu.core.calendar import TimeIndex
 from xclim_tpu.core.dataarray import ClimArray
 
-__all__ = ["climjit"]
+__all__ = ["climjit", "climjit_chain"]
+
+
+#: substrings that identify a backend program-size / compile-capacity
+#: failure (the tunnel backend's remote compile service rejects oversized
+#: programs with HTTP 413/500; the chip itself with RESOURCE_EXHAUSTED)
+_SIZE_ERR_MARKERS = ("remote_compile", "length limit", "413", "500",
+                     "RESOURCE_EXHAUSTED", "exceeds the limit",
+                     "Ran out of memory")
+
+
+def _is_compile_capacity_error(e: Exception) -> bool:
+    msg = str(e)
+    return any(m in msg for m in _SIZE_ERR_MARKERS)
 
 
 def _coord_fingerprint(coords: dict) -> tuple:
@@ -139,12 +152,17 @@ def _abstract_proto(fn, args, kwargs):
         return None
 
 
-def climjit(fn):
+def climjit(fn, on_capacity_error: str = "eager"):
     """Wrap an index function for whole-pipeline XLA compilation.
 
     ClimArray arguments are treated as dynamic (their ``data`` is traced);
     everything else — coordinates, attrs, thresholds, freq strings — is
     static and keys the compilation cache.
+
+    ``on_capacity_error``: what to do when the backend rejects the compiled
+    program with a size/capacity error — ``"eager"`` (default) reruns the
+    pipeline uncompiled (correct, per-op dispatch), ``"raise"`` propagates
+    (used by :func:`climjit_chain`, which splits the chain instead).
     """
     cache: dict = {}
 
@@ -212,7 +230,20 @@ def climjit(fn):
             cache[key] = (runner, proto)
         else:
             runner, proto = cache[key]
-        res = runner(args, kwargs)
+        if runner is None:  # previous compile hit a capacity error → eager
+            return fn(*args, **kwargs)
+        try:
+            res = runner(args, kwargs)
+        except Exception as e:
+            if on_capacity_error != "eager" or \
+                    not _is_compile_capacity_error(e):
+                raise
+            # the backend rejected the fused program (oversized / out of
+            # compile capacity): run the pipeline eagerly instead of failing
+            # — each op dispatches separately, slower but correct. The cache
+            # remembers the demotion so later calls skip the failed compile.
+            cache[key] = (None, None)
+            return fn(*args, **kwargs)
         if isinstance(proto, ClimArray):
             return proto.copy(data=res)
         if isinstance(proto, tuple):
@@ -221,4 +252,62 @@ def climjit(fn):
         return res
 
     wrapped.trace_count = 0
+    return wrapped
+
+
+def climjit_chain(steps):
+    """Compile a LIST of index/indicator calls into as few XLA programs as
+    the backend accepts.
+
+    ``steps`` is a sequence of callables sharing one argument signature, each
+    returning a ClimArray or tuple of ClimArrays. The whole chain is first
+    compiled as ONE program (amortizing the tunnel backend's per-dispatch
+    floor across every indicator — the ``--fused`` CLI mode and the fused
+    bench chain). If the backend rejects the program with a size/capacity
+    error (remote-compile HTTP 413/500, RESOURCE_EXHAUSTED), the chain is
+    bisected and each half compiled separately, recursively, down to single
+    steps — the largest compilable sub-programs. The partition is remembered,
+    so later calls pay no failed compiles.
+
+    This is the program-splitting counterpart of the reference's chained CLI
+    (xclim:src/xclim/cli.py:363-389), which runs each indicator as its own
+    dask graph; here the split only happens when one fused program is not
+    compilable.
+    """
+    steps = list(steps)
+    group_cache: dict = {}
+    partition: list = [(0, len(steps))]
+
+    def group_fn(lo, hi):
+        if (lo, hi) not in group_cache:
+            grp = steps[lo:hi]
+
+            def g(*args, **kwargs):
+                outs = []
+                for s in grp:
+                    o = s(*args, **kwargs)
+                    outs.extend(o if isinstance(o, (list, tuple)) else (o,))
+                return tuple(outs)
+
+            group_cache[(lo, hi)] = climjit(
+                g, on_capacity_error="raise" if hi - lo > 1 else "eager")
+        return group_cache[(lo, hi)]
+
+    def wrapped(*args, **kwargs):
+        outs = []
+        i = 0
+        while i < len(partition):
+            lo, hi = partition[i]
+            try:
+                outs.extend(group_fn(lo, hi)(*args, **kwargs))
+                i += 1
+            except Exception as e:
+                if hi - lo == 1 or not _is_compile_capacity_error(e):
+                    raise
+                group_cache.pop((lo, hi), None)
+                mid = (lo + hi) // 2
+                partition[i:i + 1] = [(lo, mid), (mid, hi)]
+        return tuple(outs)
+
+    wrapped.partition = partition  # observable: how many programs ran
     return wrapped
