@@ -508,25 +508,29 @@ def bench_all():
                          "climjit_chain (backend program-size limit)")}
 
     def cfg_spells_ab(size=448):
-        """VERDICT r2 #5: same size, same run, both spell engines."""
-        from xclim_tpu.ops.pallas.capability import pallas_mode, set_pallas_mode
+        """VERDICT r2 #5 / r3 #5: same size, same run, both spell engines.
+        The default dispatch (capability.spell_engine) routes to the winner."""
+        from xclim_tpu.ops.pallas.capability import (
+            set_spell_engine,
+            spell_engine,
+        )
 
         t = date_range("2000-01-01", periods=3650, freq="D", calendar="noleap")
         tx = mk(1, (3650, size, size), 290.0, 8.0, "K", "tasmax", t)
         out = {"config": f"spells engine A/B {size}x{size}"}
-        prev = pallas_mode()
         try:
-            for mode in ("mosaic", "off"):
-                set_pallas_mode(mode)
+            for mode in ("pallas", "xla"):
+                set_spell_engine(mode)
                 f1 = climjit(indices.tx_days_above)
                 med, _ = _median5(lambda: f1(tx, thresh="25 degC", freq="YS"))
-                key = "pallas_ms" if mode == "mosaic" else "xla_ms"
-                out[key] = round(med * 1e3, 1)
+                out[f"{mode}_ms"] = round(med * 1e3, 1)
                 jax.clear_caches()
         finally:
-            set_pallas_mode(prev if prev != "interpret" else None)
+            set_spell_engine(None)
         out["winner"] = "pallas" if out.get("pallas_ms", 1e9) <= \
             out.get("xla_ms", 1e9) else "xla"
+        out["default_engine"] = spell_engine()
+        out["dispatch_honors_ab"] = out["winner"] == out["default_engine"]
         return out
 
     def cfg_roofline():

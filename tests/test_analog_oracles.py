@@ -106,6 +106,7 @@ def analytical_KLDiv(p, q):
                           min(p.isf(a), q.isf(a)))[0]
 
 
+@pytest.mark.slow
 class TestKLDIV:
     def test_against_analytic(self):
         rng = np.random.default_rng(4)

@@ -44,6 +44,7 @@ def _ar1(alpha, n, rng, positive=False):
         ("pr", 98, "fraction_over_precip_thresh", "MS", "noleap"),
     ],
 )
+@pytest.mark.slow
 def test_bootstrap_property(var, p, index, freq, calendar):
     rng = np.random.default_rng(seed=list(map(ord, "𝕽𝔞𝖓𝔡𝖔𝔪")))
     ndays = {"standard": int(4 * 365.25), "noleap": 4 * 365,

@@ -230,6 +230,7 @@ class TestPercentileDoyTable:
         assert table.shape == (365, 2 * 3)
 
 
+@pytest.mark.slow
 class TestResampleFuzz:
     """Randomized cross-check of segment reductions against a pure-numpy
     per-period groupby, across frequencies and calendars."""

@@ -123,6 +123,7 @@ class TestIsothermality:
         assert out.attrs["units"] == "%"
 
 
+@pytest.mark.slow
 class TestTempWetDryPrecipWarmColdQuarter:
     @staticmethod
     def _data(timeseries, ref_rng):

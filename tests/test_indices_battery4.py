@@ -344,6 +344,7 @@ class TestDrynessIndexProperties:
         assert di.attrs["units"] == "mm"
 
 
+@pytest.mark.slow
 class TestSPIScipyCrossCheck:
     """Independent oracle for SPI: fit gamma per calendar month with scipy on
     the calibration series and transform through the normal ppf; the JAX

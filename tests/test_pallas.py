@@ -24,10 +24,18 @@ OPS = {">": operator.gt, ">=": operator.ge, "<": operator.lt,
 
 @pytest.fixture(autouse=True)
 def _xla_reference_mode():
-    """Force the XLA path while building references, restore after."""
+    """Force the XLA path while building references, restore after.
+
+    Spell dispatch defaults to the XLA engine since round 4 (it won the
+    on-chip A/B); these tests exercise the Pallas kernels explicitly, so
+    the engine preference is overridden for the module."""
+    from xclim_tpu.ops.pallas.capability import set_spell_engine
+
     set_pallas_mode("off")
+    set_spell_engine("pallas")
     yield
     set_pallas_mode("off")
+    set_spell_engine(None)
 
 
 def _reference(x, spec, thresh, window, op):

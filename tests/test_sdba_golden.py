@@ -36,6 +36,7 @@ def _multivar(M, units=""):
                      {"units": units}, "mv")
 
 
+@pytest.mark.slow
 class TestOTCGolden:
     def test_gaussian_affine_map(self):
         """1-D N(0,1)→N(5,2): the unique monotone OT map is T(x) = 5 + 2x."""
@@ -72,6 +73,7 @@ class TestOTCGolden:
         np.testing.assert_allclose(o[400:].mean(), 11.0, atol=0.2)
 
 
+@pytest.mark.slow
 class TestDOTCGolden:
     def test_additive_evolution(self):
         """hist~N(0,1), sim=hist+3, ref~N(5,2): dOTC evolves ref by +3 and

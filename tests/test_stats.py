@@ -112,6 +112,7 @@ class TestFrequencyAnalysis:
         assert float(np.asarray(out.values)[0]) > np.median(q)
 
 
+@pytest.mark.slow
 class TestStandardizedIndex:
     def test_spi_zero_mean(self):
         # SPI of the calibration data should be ~N(0,1)

@@ -88,6 +88,7 @@ class TestPallasInterpret:
         _close(got, ref)
 
 
+@pytest.mark.slow
 class TestSortNetwork:
     """The bitonic presort + merge phases against np.sort (pure jnp)."""
 

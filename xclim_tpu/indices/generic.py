@@ -191,8 +191,16 @@ def _pallas_threshold_count(da: ClimArray, op: str, thresh, freq: str):
     if not np.isscalar(thresh) or op not in (">", "<", ">=", "<=",
                                              "gt", "lt", "ge", "le"):
         return None
-    from xclim_tpu.ops.pallas.capability import dispatch_counts, pallas_mode
+    from xclim_tpu.ops.pallas.capability import (
+        dispatch_counts,
+        pallas_mode,
+        spell_engine,
+    )
 
+    if spell_engine() != "pallas":
+        # XLA compare + slice-unroll segment sum won the round-4 A/B —
+        # see capability.spell_engine
+        return None
     mode = pallas_mode()
     if mode == "off":
         return None

@@ -25,9 +25,42 @@ import os
 __all__ = ["pallas_mode", "set_pallas_mode", "mosaic_supported",
            "winquantile_supported", "segred_supported",
            "axisquantile_supported", "qdmadjust_supported",
-           "dispatch_counts"]
+           "spell_engine", "set_spell_engine", "dispatch_counts"]
 
 _MODE: str | None = None
+
+_SPELL_ENGINE: str | None = None
+
+
+def spell_engine() -> str:
+    """Which engine serves spell statistics / threshold counts.
+
+    ``"xla"`` (default): the pure-XLA path on the slice-unroll segment
+    engine — the measured round-4 winner on v5e (tx_days_above 448x448
+    10y: XLA 45.8 ms vs Pallas 64.1 ms median, BENCH_DETAIL.json "spells
+    engine A/B"), and the one that keeps fused multi-indicator chains free
+    of Mosaic payloads (each embedded Mosaic kernel adds megabytes to the
+    program the tunnel backend must accept — the round-3 fused-chain
+    HTTP 413).
+
+    ``"pallas"``: route through the fused Mosaic spell kernel (requires the
+    capability probe to pass). Select with ``XCLIM_TPU_SPELLS=pallas`` or
+    :func:`set_spell_engine`.
+    """
+    global _SPELL_ENGINE
+    if _SPELL_ENGINE is not None:
+        return _SPELL_ENGINE
+    env = os.environ.get("XCLIM_TPU_SPELLS", "").lower()
+    _SPELL_ENGINE = "pallas" if env in ("pallas", "1", "mosaic") else "xla"
+    return _SPELL_ENGINE
+
+
+def set_spell_engine(mode: str | None) -> None:
+    """Override the spell engine (``None`` re-reads the env var)."""
+    global _SPELL_ENGINE
+    if mode is not None and mode not in ("xla", "pallas"):
+        raise ValueError(f"unknown spell engine {mode!r}")
+    _SPELL_ENGINE = mode
 
 _PROBE_TRIES = 2  # tunnel remote-compile HTTP 500s are transient; retry once
 

@@ -214,8 +214,17 @@ def _pallas_spell(x, window, axis, spec, resample_before_rl, what):
     resample_before_rl=True` case of the callers."""
     if spec is None or not resample_before_rl:
         return None
-    from xclim_tpu.ops.pallas.capability import dispatch_counts, pallas_mode
+    from xclim_tpu.ops.pallas.capability import (
+        dispatch_counts,
+        pallas_mode,
+        spell_engine,
+    )
 
+    if spell_engine() != "pallas":
+        # the XLA path (slice-unroll segment engine) won the round-4 A/B —
+        # see capability.spell_engine
+        dispatch_counts["xla"] += 1
+        return None
     mode = pallas_mode()
     if mode == "off":
         dispatch_counts["xla"] += 1
