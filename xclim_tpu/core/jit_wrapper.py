@@ -20,6 +20,7 @@ import functools
 import hashlib
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from xclim_tpu.core.calendar import TimeIndex
@@ -69,6 +70,14 @@ def _fingerprint(obj):
         return tuple(_fingerprint(o) for o in obj)
     if isinstance(obj, dict):
         return tuple(sorted((k, _fingerprint(v)) for k, v in obj.items()))
+    if isinstance(obj, jnp.ndarray):
+        # device arrays are DYNAMIC inputs: fingerprint by shape/dtype only.
+        # Hashing by value would pull the buffer through the ~15 MB/s tunnel
+        # on every call, and the static-closure treatment would embed it as
+        # a program CONSTANT — a (3650, 100, 100) f32 chain input inflated
+        # the remote-compile request to ~600 MB and was the real cause of
+        # the round-3 fused-chain HTTP 413 / multi-minute stalls.
+        return ("jaxarray", str(obj.dtype), tuple(obj.shape))
     arr = np.asarray(obj)
     return ("array", str(arr.dtype), arr.shape,
             hashlib.blake2b(arr.tobytes(), digest_size=8).hexdigest())
@@ -86,6 +95,8 @@ def _abstract_proto(fn, args, kwargs):
     def leaves(o, acc):
         if isinstance(o, ClimArray):
             acc.append(o.data)
+        elif isinstance(o, jnp.ndarray):
+            acc.append(o)
         elif isinstance(o, (list, tuple)):
             for x in o:
                 leaves(x, acc)
@@ -104,6 +115,8 @@ def _abstract_proto(fn, args, kwargs):
         def rebuild(o):
             if isinstance(o, ClimArray):
                 return ClimArray(next(it), o.dims, o.coords, o.attrs, o.name)
+            if isinstance(o, jnp.ndarray):
+                return next(it)
             if isinstance(o, (list, tuple)):
                 return type(o)(rebuild(x) for x in o)
             if isinstance(o, dict):
@@ -180,6 +193,8 @@ def climjit(fn, on_capacity_error: str = "eager"):
                 def rebuild(o):
                     if isinstance(o, ClimArray):
                         return ClimArray(next(it), o.dims, o.coords, o.attrs, o.name)
+                    if isinstance(o, jnp.ndarray):
+                        return next(it)
                     if isinstance(o, (list, tuple)):
                         return type(o)(rebuild(x) for x in o)
                     if isinstance(o, dict):
@@ -205,6 +220,8 @@ def climjit(fn, on_capacity_error: str = "eager"):
                 def collect(o):
                     if isinstance(o, ClimArray):
                         datas.append(o.data)
+                    elif isinstance(o, jnp.ndarray):
+                        datas.append(o)
                     elif isinstance(o, (list, tuple)):
                         for x in o:
                             collect(x)
