@@ -483,8 +483,10 @@ def bench_all():
             return fused(tas.data, tx.data, tn.data, pr.data)
 
         def sync(r):
-            for o in r:
-                _sync_scalar(o)
+            # outputs complete in stream order: fetching ONE scalar of the
+            # last output bounds the whole chain (each extra fetch is its
+            # own ~20 ms tunnel round-trip and would swamp the compute)
+            _sync_scalar(r[-1])
 
         med, ts = _median5(once, sync=sync)
         # marginal cost: one indicator alone at the same size
