@@ -127,3 +127,42 @@ class TestInterpHatNodes:
                 np.testing.assert_allclose(got[g, :, c][mask],
                                            exp[mask], rtol=1e-5, atol=1e-5)
                 assert np.isnan(got[g, :, c][~mask]).all()
+
+
+class TestNetworkQuantile:
+    """Sorting-network short-axis path (ops/quantile.py
+    small_axis_nan_quantile_network) — exact parity with the XLA kernel."""
+
+    @pytest.mark.parametrize("M", [2, 3, 13, 30, 32, 64])
+    @pytest.mark.parametrize("ab", [(1.0, 1.0), (1 / 3, 1 / 3)])
+    def test_matches_xla(self, M, ab):
+        from xclim_tpu.ops.quantile import (
+            nan_quantile,
+            small_axis_nan_quantile_network,
+        )
+
+        rng = np.random.default_rng(M)
+        x = rng.normal(0, 5, (M, 300)).astype(np.float32)
+        x[rng.random((M, 300)) < 0.25] = np.nan
+        x[:, 0] = np.nan
+        q = np.array([0.1, 0.5, 0.9], np.float32)
+        got = np.asarray(small_axis_nan_quantile_network(
+            jnp.asarray(x), q, 0, *ab))
+        want = np.asarray(nan_quantile(jnp.asarray(x), jnp.asarray(q), axis=0,
+                                       alpha=ab[0], beta=ab[1],
+                                       _no_pallas=True))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
+                                   equal_nan=True)
+
+    def test_dispatch_serves_short_axes(self):
+        """nan_quantile routes short axes through the network path when the
+        Pallas kernel is unavailable (CPU)."""
+        from xclim_tpu.ops import quantile as qmod
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(0, 1, (30, 5000)).astype(np.float32)
+        q = np.array([0.5], np.float32)
+        via_dispatch = np.asarray(qmod.nan_quantile(jnp.asarray(x), q, axis=0))
+        direct = np.asarray(qmod.small_axis_nan_quantile_network(
+            jnp.asarray(x), q, 0, 1.0, 1.0))
+        np.testing.assert_allclose(via_dispatch, direct, rtol=1e-6)

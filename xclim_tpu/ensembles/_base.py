@@ -127,7 +127,11 @@ def ensemble_percentiles(ens, values=None, keep_chunk_size=None, weights=None,
     ax = da.dims.index("realization")
     q = np.asarray(values, dtype=np.float32) / 100.0
     if weights is None:
-        res = nan_quantile(da.data, jnp.asarray(q), axis=ax)  # (Q, ...)
+        # q stays a HOST numpy array: wrapping it in jnp.asarray inside a
+        # traced caller (the fused bench/CLI pipelines) makes it a tracer,
+        # which silently bars the fast static-q kernels (Pallas
+        # axisquantile / the sorting network) and falls to the XLA sort
+        res = nan_quantile(da.data, q, axis=ax)  # (Q, ...)
     else:
         res = _weighted_quantile(da.data, jnp.asarray(np.asarray(weights, np.float32)),
                                  jnp.asarray(q), axis=ax)

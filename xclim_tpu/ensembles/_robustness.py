@@ -139,12 +139,26 @@ def _fractions_program(test, strict_sign, has_ref, tax, rax, kw_items):
     ensembles bench config from ~140 ms to the kernel-bound cost."""
     kw = dict(kw_items)
 
+    def moments(x):
+        """(n, mean, centered-SS, any-NaN) over time in TWO fused passes —
+        the t-tests, deltas and validity all derive from these, instead of
+        each re-reading the member series (the round-3 fractions pipeline
+        cost ~8 HBM passes of fut/hist; this one costs 4 total)."""
+        nan = jnp.isnan(x)
+        n = jnp.sum(~nan, axis=tax).astype(jnp.float32)
+        s = jnp.where(nan, 0.0, x).sum(axis=tax)
+        m = s / jnp.maximum(n, 1.0)
+        ss = jnp.where(nan, 0.0,
+                       (x - jnp.expand_dims(m, tax)) ** 2).sum(axis=tax)
+        return n, m, ss, nan.any(axis=tax)
+
     def core(futd, refd, w):
         if has_ref:
-            deltas = jnp.nanmean(futd, axis=tax) - jnp.nanmean(refd, axis=tax)
-            valid = ~(jnp.isnan(futd).any(axis=tax)
-                      | jnp.isnan(refd).any(axis=tax))
-            ref_mean = jnp.nanmean(refd, axis=tax)
+            n1, m1, ss1, nanf = moments(futd)
+            n2, m2, ss2, nanr = moments(refd)
+            deltas = m1 - m2
+            valid = ~(nanf | nanr)
+            ref_mean = m2
         else:
             deltas = futd
             valid = ~jnp.isnan(deltas)
@@ -157,6 +171,23 @@ def _fractions_program(test, strict_sign, has_ref, tax, rax, kw_items):
                 changed = jnp.abs(deltas) > kw["abs_thresh"]
             else:
                 changed = jnp.abs(deltas / ref_mean) > kw["rel_thresh"]
+        elif test == "ttest":
+            p_change = kw.get("p_change", 0.05)
+            fstd = jnp.sqrt(ss1 / jnp.maximum(n1 - 1, 1.0))
+            t = (m1 - m2) / (fstd / jnp.sqrt(jnp.maximum(n1, 1.0)))
+            df = jnp.maximum(n1 - 1, 1.0)
+            pvals = _t_sf(jnp.abs(t), df)
+            changed = pvals < p_change
+        elif test == "welch-ttest":
+            p_change = kw.get("p_change", 0.05)
+            v1 = ss1 / jnp.maximum(n1 - 1, 1.0)
+            v2 = ss2 / jnp.maximum(n2 - 1, 1.0)
+            se2 = v1 / n1 + v2 / n2
+            t = (m1 - m2) / jnp.sqrt(se2)
+            df = se2 ** 2 / ((v1 / n1) ** 2 / jnp.maximum(n1 - 1, 1.0)
+                             + (v2 / n2) ** 2 / jnp.maximum(n2 - 1, 1.0))
+            pvals = _t_sf(jnp.abs(t), jnp.maximum(df, 1.0))
+            changed = pvals < p_change
         else:
             fn = SIGNIFICANCE_TESTS[test]
             changed, pvals = fn(futd, refd, tax, **kw)
