@@ -575,25 +575,25 @@ def bench_all():
         t1 = date_range("2000-01-01", periods=365, freq="D", calendar="noleap")
         ens = concat([mk(10 + i, (365, ny, nx), 285.0, 5.0, "K", "tas", t1)
                       for i in range(30)], dim="realization")
-
-        # the fut/hist split is input prep (the numpy baseline also splits
-        # outside its timed loop) — slice once, then time the compute
-        fut = ens.isel(time=slice(183, 365))
-        hist_ = ens.isel(time=slice(0, 182))
-        _sync_scalar(fut.data)
+        _sync_scalar(ens.data)
 
         # percentiles + robustness as ONE XLA program (climjit — the
         # intended usage pattern, same as the fused CLI chain): eager calls
-        # paid 2-4 tunnel dispatch floors per iteration
-        def fused(e, f, h):
+        # paid 2-4 tunnel dispatch floors per iteration. The fut/hist split
+        # happens INSIDE the program (XLA slices fuse into their consumers)
+        # — materializing the halves as separate device arrays doubled
+        # resident HBM and OOMed the 192x448 saturated config (3.8 GB input)
+        def fused(e):
             p = ensemble_percentiles(e, values=[10, 50, 90])
-            rf = robustness_fractions(f, h, test="ttest")
+            fut = e.isel(time=slice(183, 365))
+            hist_ = e.isel(time=slice(0, 182))
+            rf = robustness_fractions(fut, hist_, test="ttest")
             return (p[10.0], p[50.0], p[90.0], rf["changed"])
 
         g = climjit(fused)
 
         def ens_once():
-            return g(ens, fut, hist_)
+            return g(ens)
 
         def sync(r):
             # one program: any output completing bounds the whole program

@@ -135,3 +135,103 @@ def axis_quantile_small(x2, q, alpha: float = 1.0, beta: float = 1.0,
                          f"{x2.shape[0]} > {MAX_AXIS}")
     return _call(jnp.asarray(x2, jnp.float32), q_tuple=tuple(qs),
                  alpha=float(alpha), beta=float(beta), interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# layout-preserving 3-D variant: (M, R, L) with the array's own minor dim
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def _batcher_pairs(n: int) -> tuple:
+    """Batcher odd-even mergesort comparators (any n)."""
+    pairs = []
+    p = 1
+    while p < n:
+        k = p
+        while k >= 1:
+            for j in range(k % p, n - k, 2 * k):
+                for i in range(0, min(k, n - j - k)):
+                    if (i + j) // (2 * p) == (i + j + k) // (2 * p):
+                        pairs.append((i + j, i + j + k))
+            k //= 2
+        p *= 2
+    return tuple(pairs)
+
+
+def _kernel3(x_ref, *out_refs, M, nq, qvals, coffs):
+    """(M, RB, L) block: static Batcher network over the leading axis.
+
+    Unlike the 2-D kernel's bitonic rolls, the members are addressed by
+    STATIC leading-dim indexing (x_ref[i]) — each value is an (RB, L) VMEM
+    tile and every comparator is a plain min/max, so the whole sort runs on
+    natural (…, L)-minor layout. This avoids the (M, C) flatten of the 2-D
+    path, whose physical relayout costs ~5x the kernel itself when the minor
+    dim is not 128-aligned (measured 205 ms for (30, 365, 192, 448) f32 on
+    v5e vs 41 ms for the lane-aligned case).
+    """
+    vals = []
+    nv = None
+    for i in range(M):
+        v = x_ref[i]
+        ok = (v >= 0.0) | (v < 0.0)          # False for NaN
+        okf = ok.astype(jnp.float32)
+        nv = okf if nv is None else nv + okf
+        vals.append(jnp.where(ok, v, BIG))
+    for a, b in _batcher_pairs(M):
+        lo = jnp.minimum(vals[a], vals[b])
+        hi = jnp.maximum(vals[a], vals[b])
+        vals[a], vals[b] = lo, hi
+    nvm1 = jnp.maximum(nv - 1.0, 0.0)
+    for j in range(nq):
+        h = jnp.clip((nv * qvals[j] + coffs[j]) - 1.0, 0.0, nvm1)
+        acc = jnp.zeros_like(vals[0])
+        for k in range(M):
+            w = jnp.clip(1.0 - jnp.abs(h - k), 0.0, 1.0)
+            # w == 0 zeroes the BIG padding; no inf arithmetic (BIG finite)
+            acc = acc + jnp.where(w > 0.0, vals[k], 0.0) * w
+        out_refs[j][0] = jnp.where(nv > 0.0, acc, BIG)
+
+
+@functools.partial(jax.jit, static_argnames=("q_tuple", "alpha", "beta",
+                                             "interpret"))
+def _call3(x3, *, q_tuple, alpha, beta, interpret=False):
+    M, R, L = x3.shape
+    qvals = tuple(float(np.float32(v)) for v in q_tuple)
+    coffs = tuple(float(np.float32(np.float32(v)
+                                   * np.float32(1 - alpha - beta))
+                        + np.float32(alpha)) for v in qvals)
+    nq = len(qvals)
+    # ~2 MB VMEM per in-flight input block (double-buffered by the pipeline)
+    Lp = -(-L // 128) * 128
+    RB = max(8, min(256, (2 * 1024 * 1024 // (M * Lp * 4) // 8) * 8))
+    Rp = -(-R // RB) * RB
+    kernel = functools.partial(_kernel3, M=M, nq=nq, qvals=qvals,
+                               coffs=coffs)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Rp // RB,),
+        in_specs=[pl.BlockSpec((M, RB, L), lambda i: (0, i, 0))],
+        out_specs=[pl.BlockSpec((1, RB, L), lambda i: (0, i, 0))] * nq,
+        out_shape=[jax.ShapeDtypeStruct((1, Rp, L), jnp.float32)] * nq,
+        interpret=interpret,
+    )(x3)
+    out = jnp.concatenate(outs, axis=0)[:, :R, :]    # (nq, R, L)
+    return jnp.where(out >= BIG * 0.5, jnp.nan, out)
+
+
+def axis_quantile_small_nd(x, q, alpha: float = 1.0, beta: float = 1.0,
+                           interpret: bool = False):
+    """Quantiles over the leading axis of an (M, ..., L) array, keeping the
+    minor dim physical: the middle dims collapse for free. M <= MAX_AXIS."""
+    if x.shape[0] > MAX_AXIS:
+        raise ValueError(f"axis too long for the small-axis kernel: "
+                         f"{x.shape[0]} > {MAX_AXIS}")
+    qs = np.asarray(q, dtype=np.float64).reshape(-1)
+    M = x.shape[0]
+    L = x.shape[-1]
+    mid = x.shape[1:-1]
+    x3 = jnp.asarray(x, jnp.float32).reshape(M, -1, L)
+    out = _call3(x3, q_tuple=tuple(qs), alpha=float(alpha),
+                 beta=float(beta), interpret=interpret)
+    return out.reshape((out.shape[0],) + mid + (L,))

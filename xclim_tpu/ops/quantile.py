@@ -106,15 +106,27 @@ def _pallas_nan_quantile(x, q, axis, alpha, beta):
 
     if not axisquantile_supported():
         return None
-    from xclim_tpu.ops.pallas.axisquantile import axis_quantile_small
+    from xclim_tpu.ops.pallas.axisquantile import (
+        axis_quantile_small,
+        axis_quantile_small_nd,
+    )
 
     xf = jnp.moveaxis(x, axis, 0)
     shape = xf.shape
+    L = shape[-1]
+    # flattening to (M, C) relayouts the whole array when the minor dim is
+    # not lane-aligned (~5x the kernel cost at (30, 365, 192, 448) f32) —
+    # the 3-D kernel keeps the array's own minor dim in that case
+    use_nd = xf.ndim >= 3 and (L % 128 != 0) and L <= 4096
     out = None
     for _ in range(2):  # tunnel remote compiles fail transiently: one retry
         try:
-            out = axis_quantile_small(xf.reshape(M, -1), np.asarray(q),
-                                      alpha=alpha, beta=beta)
+            if use_nd:
+                out = axis_quantile_small_nd(xf, np.asarray(q),
+                                             alpha=alpha, beta=beta)
+            else:
+                out = axis_quantile_small(xf.reshape(M, -1), np.asarray(q),
+                                          alpha=alpha, beta=beta)
             break
         except Exception:
             out = None
@@ -126,6 +138,8 @@ def _pallas_nan_quantile(x, q, axis, alpha, beta):
 
         _cap._AQ_OK = False
         return None
+    if use_nd:
+        return out
     return out.reshape((out.shape[0],) + shape[1:])
 
 
