@@ -196,17 +196,17 @@ class TestAllNaNPeriod:
         kw = dict(kwargs)
         if name in ("maximum_consecutive_dry_days",
                     "maximum_consecutive_wet_days", "daily_pr_intensity"):
-            kw.pop("thresh", None)  # icclim variants inject 1 mm/day
+            kw.pop("thresh", None)  # indicator variants inject 1 mm/day
         out = ind(da, freq="YS", **kw)
         got = np.asarray(out.values, dtype=np.float64)
         assert np.isnan(got[0]), f"{name}: all-NaN year must be NaN"
         want1 = exp(v[L:])
-        # indicator-layer declared units differ from the raw index for two
-        # precip outputs: RX1DAY converts to mm/day, SDII keeps the rate
+        # indicator-layer declared units differ from the raw index for one
+        # precip output: RX1DAY converts the SI rate to mm/day. SDII
+        # (mm d-1, xclim:indicators/atmos/_precip.py:251-260) already matches
+        # its numpy expectation, which computes in mm/day.
         if name == "max_1day_precipitation_amount":
             want1 = want1 * 86400.0
-        elif name == "daily_pr_intensity":
-            want1 = want1 / 86400.0
         np.testing.assert_allclose(got[1], want1, rtol=1e-5, atol=tol or 1e-5)
 
     def test_partial_nan_year_masked(self):

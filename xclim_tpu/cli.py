@@ -21,8 +21,15 @@ from xclim_tpu.core.indicator import InputKind, registry
 
 
 def _get_indicator(name: str):
+    """Resolve a registry entry; dotted names address virtual modules
+    (``icclim.SU``), matching the reference (xclim:cli.py:42-51)."""
+    if "." in name:
+        mod, ident = name.split(".", 1)
+        key = f"{mod}.{ident.upper()}"
+    else:
+        key = name.upper()
     try:
-        return registry[name.upper()]
+        return registry[key]
     except KeyError as err:
         raise click.BadArgumentUsage(f"Indicator '{name}' not found in xclim_tpu.") from err
 

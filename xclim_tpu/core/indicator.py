@@ -160,6 +160,11 @@ _CF_NAMES = ["var_name", "standard_name", "long_name", "units", "units_metadata"
 _INDEXER_KEYS = ("season", "month", "doy_bounds", "date_bounds",
                  "include_bounds")
 
+#: Modules whose indicators register under their bare uppercase identifier
+#: (xclim:core/indicator.py:291: the reference's default-submodule list).
+_DEFAULT_MODULES = frozenset(
+    {"atmos", "convert", "generic", "land", "ocean", "seaIce"})
+
 
 class Indicator:
     """A climate indicator: metadata + checks around a compute function
@@ -170,6 +175,11 @@ class Indicator:
 
     realm: str | None = None
     identifier: str | None = None
+    #: Virtual-module name for YAML-built indicators. Mirrors the reference's
+    #: registry naming (xclim:core/indicator.py:285-299): indicators from a
+    #: non-default module register as "{module}.{IDENTIFIER}" so e.g. the
+    #: ICCLIM "PRCPTOT" does not shadow atmos "prcptot".
+    module: str | None = None
     missing = "from_context"
     missing_options: dict | None = None
     src_freq: str | list[str] | None = None
@@ -256,7 +266,17 @@ class Indicator:
                            and not p.injected]
 
         self._registry_id = f"{self.realm or 'generic'}.{self.identifier.upper()}"
-        registry[self.identifier.upper()] = self
+        key = self.identifier.upper()
+        if self.module and self.module not in _DEFAULT_MODULES:
+            # reference semantics (xclim:core/indicator.py:285-299): prefix
+            # non-default modules so ICCLIM/ANUCLIM/CF names never shadow the
+            # core realms' registry entries
+            key = f"{self.module}.{key}"
+        if key in registry and registry[key] is not self:
+            warnings.warn(f"Indicator {key} already exists "
+                          "and will be overwritten.", stacklevel=2)
+        registry[key] = self
+        self._registry_key = key
 
     @property
     def units(self):
@@ -490,8 +510,13 @@ class Indicator:
         # locales
         for locale in OPTIONS["metadata_locales"]:
             try:
+                # translations key by the realm-prefixed id (this repo's
+                # fr.json scheme) or the reference-style registry key
+                # (xclim:core/locales.py:148 keys by registry id)
                 loc_attrs = get_local_attrs(self._registry_id, locale,
-                                            names=TRANSLATABLE_ATTRS)
+                                            names=TRANSLATABLE_ATTRS) \
+                    or get_local_attrs(self._registry_key, locale,
+                                       names=TRANSLATABLE_ATTRS)
             except Exception:
                 continue
             loc_fmt = get_local_formatter(locale)
@@ -755,7 +780,7 @@ def build_indicator_module_from_yaml(filename, name: str | None = None,
     for ident, data in (yml.get("indicators") or {}).items():
         try:
             objs[ident] = _indicator_from_dict(ident, data, default_base, realm,
-                                               indices=indices)
+                                               indices=indices, module=name)
         except Exception as err:
             if mode == "raise":
                 raise
@@ -770,11 +795,16 @@ def build_indicator_module_from_yaml(filename, name: str | None = None,
 
 
 def _indicator_from_dict(identifier: str, data: dict, default_base: str, realm: str,
-                         indices=None):
+                         indices=None, module: str | None = None):
     data = dict(data or {})
     base_name = data.pop("base", default_base)
-    if base_name.upper() in registry:
-        base_ind = registry[base_name.upper()]
+    # a base may name a core indicator (bare key) or a sibling indicator of
+    # the same virtual module (prefixed key)
+    base_key = next((k for k in (base_name.upper(),
+                                 f"{module}.{base_name.upper()}")
+                     if k in registry), None)
+    if base_key is not None:
+        base_ind = registry[base_key]
         base_cls = type(base_ind)
         compute = base_ind.compute
         inherited = {
@@ -817,6 +847,7 @@ def _indicator_from_dict(identifier: str, data: dict, default_base: str, realm: 
     kwds.update({k: v for k, v in data.items() if isinstance(v, (str, int, float, list, dict))})
     kwds.update({
         "identifier": identifier,
+        "module": module,
         "realm": data.get("realm", realm or inherited.get("realm", "atmos")),
         "compute": compute,
         "cf_attrs": cf_attrs or [{}],
