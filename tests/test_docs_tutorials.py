@@ -1,0 +1,39 @@
+"""Execute every ```python block in docs/tutorial_*.md.
+
+The reference ships executed notebooks (reference docs/notebooks/*.ipynb,
+run by its CI notebook tox env); the TPU build's equivalent is markdown
+tutorials whose code blocks run here, so the worked examples cannot rot.
+Blocks within one file share a namespace and run in order. A block whose
+info string contains ``notest`` is skipped (shell transcripts etc.).
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import pytest
+
+DOCS = sorted((Path(__file__).resolve().parent.parent / "docs").glob("tutorial_*.md"))
+
+_BLOCK = re.compile(r"^```python([^\n]*)\n(.*?)^```", re.S | re.M)
+
+
+def _blocks(path: Path):
+    text = path.read_text()
+    return [(m.group(1).strip(), m.group(2)) for m in _BLOCK.finditer(text)]
+
+
+@pytest.mark.parametrize("path", DOCS, ids=[p.stem for p in DOCS])
+def test_tutorial_runs(path):
+    blocks = _blocks(path)
+    assert blocks, f"{path.name} has no python blocks"
+    ns: dict = {"__name__": f"docs.{path.stem}"}
+    for i, (info, src) in enumerate(blocks):
+        if "notest" in info:
+            continue
+        try:
+            exec(compile(src, f"{path.name}[block {i}]", "exec"), ns)
+        except Exception as e:  # pragma: no cover - failure reporting
+            pytest.fail(f"{path.name} block {i} failed: {type(e).__name__}: {e}"
+                        f"\n--- block source ---\n{src}")
