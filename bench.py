@@ -310,6 +310,47 @@ def main():
 # (the driver's default invocation still prints exactly one JSON line above)
 # ---------------------------------------------------------------------------
 
+#: stable row keys, in sweep order — must match the configs list in
+#: bench_all (asserted there). The --all driver runs one subprocess per key.
+CONFIG_KEYS = ("tg_mean 64", "tg_mean 512", "spells", "spells 448",
+               "spells A/B", "fused chain", "tx90p bootstrap", "QDM 1k",
+               "QDM 16k", "ensembles", "ensembles 192x448", "roofline")
+
+
+def bench_all_isolated():
+    """Run every config in its OWN subprocess (`--config <key>` each), so a
+    config that exhausts HBM cannot poison the rest of the sweep.
+
+    The first full in-process `--all` run of round 4 proved the need: QDM 16k
+    hit RESOURCE_EXHAUSTED and every subsequent config (ensembles, roofline)
+    failed with the backend stuck in that state despite jax.clear_caches().
+    Each subprocess merges its rows into BENCH_DETAIL.json by `key`; a
+    subprocess that dies outright gets an error row written by this parent.
+    """
+    import subprocess
+
+    here = os.path.abspath(__file__)
+    path = os.path.join(os.path.dirname(here), "BENCH_DETAIL.json")
+    for key in CONFIG_KEYS:
+        print(f"--- {key} ---", flush=True)
+        r = subprocess.run([sys.executable, here, "--all-inproc",
+                            "--config", key], timeout=3600)
+        if r.returncode != 0:
+            row = {"config": key, "key": key,
+                   "error": f"bench subprocess exited {r.returncode}"}
+            try:
+                with open(path) as f:
+                    rows = json.load(f)
+            except Exception:
+                rows = []
+            rows = [x for x in rows if x.get("key", x.get("config")) != key]
+            rows.append(row)
+            with open(path, "w") as f:
+                json.dump(rows, f, indent=2)
+    with open(path) as f:
+        for r in json.load(f):
+            print(json.dumps(r))
+
 
 def bench_all():
     jax = _setup_jax()
@@ -338,9 +379,11 @@ def bench_all():
         x0 = jnp.zeros((8, 128))
         floor_med, _ = _median5(lambda: g(x0), sync=_sync_scalar)
         results.append({"config": "trivial dispatch floor",
+                        "key": "dispatch floor",
                         "value": round(floor_med * 1e3, 2), "unit": "ms"})
     except Exception as e:
-        results.append({"config": "dispatch floor", "error": str(e)[:120]})
+        results.append({"config": "dispatch floor", "key": "dispatch floor",
+                        "error": str(e)[:120]})
 
     # each config runs inside its own function so device buffers are freed
     # when it returns — earlier rounds OOMed the chip by keeping every
@@ -428,8 +471,12 @@ def bench_all():
                 "vs_baseline": round(cd / med / base4["est_64core_cd_s"], 2),
                 "baseline": base4,
                 "runs_ms": [round(x * 1e3, 1) for x in ts],
-                "note": ("1024 cells is dispatch-floor-bound; the 16k-cell "
-                         "config shows kernel throughput" if size == 32
+                "note": ("1024 cells: train dominates (~431 of ~464 ms, "
+                         "tools/prof_qdm.py) — the windowed-quantile train "
+                         "kernel has a fixed per-doy cost that only "
+                         "amortizes above ~10k cells (16k runs 16x the "
+                         "cells in 1.4x the time); NOT the dispatch floor"
+                         if size == 32
                          else "ERA5-scale cell count (BASELINE.md target)")}
 
     def cfg_fused_chain(size=100):
@@ -623,20 +670,31 @@ def bench_all():
                ("ensembles", lambda: cfg_ensembles(128, 256)),
                ("ensembles 192x448", lambda: cfg_ensembles(192, 448)),
                ("roofline", cfg_roofline)]
+    assert [n for n, _ in configs] == list(CONFIG_KEYS)
     import gc
 
-    # `--config <substring>` runs a subset (results merge into the existing
-    # BENCH_DETAIL.json instead of replacing it)
+    # `--config <key-or-substring>` runs a subset (results merge into the
+    # existing BENCH_DETAIL.json instead of replacing it); an exact key
+    # match wins over substring so "ensembles" does not also select
+    # "ensembles 192x448"
     only = None
     if "--config" in sys.argv:
         only = sys.argv[sys.argv.index("--config") + 1].lower()
-        configs = [(n, f) for n, f in configs if only in n.lower()]
+        exact = [(n, f) for n, f in configs if only == n.lower()]
+        configs = exact or [(n, f) for n, f in configs if only in n.lower()]
 
     for name, fn in configs:
+        # every row carries a stable `key` (the configs-list name) so subset
+        # --config reruns replace a prior error row for the same config
+        # instead of leaving both (r3 artifact had orphaned error rows keyed
+        # by the short name next to success rows keyed by the long one)
         try:
-            results.append(fn())
+            r = fn()
+            r["key"] = name
+            results.append(r)
         except Exception as e:
-            results.append({"config": name, "error": str(e)[:160]})
+            results.append({"config": name, "key": name,
+                            "error": str(e)[:160]})
         # drop every cached executable + its embedded constants between
         # configs — the round-3 kernel set made the 448x448 configs leave
         # multi-GB constant buffers alive through climjit caches, OOMing
@@ -644,9 +702,15 @@ def bench_all():
         jax.clear_caches()
         gc.collect()
 
-    results.append({"config": "spell engine",
-                    "pallas_mode": pallas_mode(),
-                    "dispatch_counts": dict(dispatch_counts)})
+    if sum(dispatch_counts.values()):
+        # only report engine routing from invocations that actually ran
+        # spell traffic — a subset run with none would overwrite the real
+        # counts with 0/0 (the r3 artifact's misleading "spell engine" row)
+        results.append({"config": "spell engine", "key": "spell engine",
+                        "pallas_mode": pallas_mode(),
+                        "dispatch_counts": dict(dispatch_counts),
+                        "note": "dispatch counts cover the configs of the "
+                                "invocation that ran spell traffic"})
 
     for r in results:
         print(json.dumps(r))
@@ -655,17 +719,20 @@ def bench_all():
     if only is not None and os.path.exists(path):
         with open(path) as f:
             prior = json.load(f)
-        new_names = {r["config"] for r in results}
+
+        def _k(r):
+            return r.get("key", r["config"])
+
+        new_keys = {_k(r) for r in results}
         # keep original ordering: replace in place where possible
         out = []
         for r in prior:
-            if r["config"] in new_names:
-                out.append(next(x for x in results
-                                if x["config"] == r["config"]))
-                new_names.discard(r["config"])
+            if _k(r) in new_keys:
+                out.append(next(x for x in results if _k(x) == _k(r)))
+                new_keys.discard(_k(r))
             else:
                 out.append(r)
-        out.extend(r for r in results if r["config"] in new_names)
+        out.extend(r for r in results if _k(r) in new_keys)
         results = out
     with open(path, "w") as f:
         json.dump(results, f, indent=2)
@@ -673,7 +740,9 @@ def bench_all():
 
 
 if __name__ == "__main__":
-    if "--all" in sys.argv:
+    if "--all-inproc" in sys.argv:
         bench_all()
+    elif "--all" in sys.argv:
+        bench_all_isolated()
     else:
         main()
