@@ -24,8 +24,27 @@ def _blocks(path: Path):
     return [(m.group(1).strip(), m.group(2)) for m in _BLOCK.finditer(text)]
 
 
+@pytest.fixture
+def _isolated_global_state():
+    """Snapshot/restore registries a tutorial may legitimately mutate
+    (tutorial_extending.md registers locales and indicators), so the
+    worked examples cannot pollute later tests."""
+    import copy
+
+    from xclim_tpu.core import locales as _loc
+    from xclim_tpu.core.indicator import registry as _reg
+
+    loc_snap = copy.deepcopy(_loc._LOCALES)
+    reg_snap = dict(_reg)
+    yield
+    _loc._LOCALES.clear()
+    _loc._LOCALES.update(loc_snap)
+    _reg.clear()
+    _reg.update(reg_snap)
+
+
 @pytest.mark.parametrize("path", DOCS, ids=[p.stem for p in DOCS])
-def test_tutorial_runs(path):
+def test_tutorial_runs(path, _isolated_global_state):
     blocks = _blocks(path)
     assert blocks, f"{path.name} has no python blocks"
     ns: dict = {"__name__": f"docs.{path.stem}"}

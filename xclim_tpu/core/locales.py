@@ -50,11 +50,21 @@ def read_locale_file(filename, module: str | None = None) -> dict:
 
 
 def load_locale(locdict, locale: str) -> None:
-    """Register or update a locale dictionary (xclim:core/locales.py:279)."""
+    """Register or update a locale dictionary (xclim:core/locales.py:279).
+
+    Updating an existing locale merges ``attrs_mapping`` key-by-key instead
+    of replacing it, so extending a shipped locale with a few custom-indicator
+    entries (docs/tutorial_extending.md) does not strip the stock frequency
+    adjectives from every other indicator's formatter."""
     if isinstance(locdict, (str, Path)):
         locdict = read_locale_file(locdict)
     if locale in _LOCALES:
-        _LOCALES[locale].update(locdict)
+        cur = _LOCALES[locale]
+        for k, v in locdict.items():
+            if k == "attrs_mapping" and isinstance(cur.get(k), dict):
+                cur[k] = {**cur[k], **v}
+            else:
+                cur[k] = v
     else:
         _LOCALES[locale] = dict(locdict)
 

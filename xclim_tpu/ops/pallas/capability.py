@@ -62,18 +62,24 @@ def set_spell_engine(mode: str | None) -> None:
         raise ValueError(f"unknown spell engine {mode!r}")
     _SPELL_ENGINE = mode
 
-_PROBE_TRIES = 2  # tunnel remote-compile HTTP 500s are transient; retry once
+_PROBE_TRIES = 3  # tunnel remote-compile HTTP 500s are transient; retry
 
 
 def _retry_probe(fn) -> bool:
-    """Run a probe body up to ``_PROBE_TRIES`` times.
+    """Run a probe body up to ``_PROBE_TRIES`` times, with a short pause
+    between attempts.
 
     A flaky remote compile must not silently demote the whole process to the
     XLA fallback paths (round 3: one transient HTTP 500 during the
     winquantile probe sent the 16k-cell QDM config into the fallback's
-    23.7 GB windowed gather and OOMed the chip)."""
+    23.7 GB windowed gather and OOMed the chip; round 4: two consecutive
+    failures during a driver bench run flipped the whole sweep to ``off``)."""
+    import time
+
     last = False
-    for _ in range(_PROBE_TRIES):
+    for i in range(_PROBE_TRIES):
+        if i:
+            time.sleep(5.0 * i)  # let a transient tunnel error clear
         try:
             last = bool(fn())
         except Exception:

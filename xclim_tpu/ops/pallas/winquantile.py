@@ -404,7 +404,7 @@ def doy_window_quantiles(xg, q, window: int, alpha: float = 1.0,
 
 def doy_window_quantiles_xla(xg, q, window: int, alpha: float = 1.0,
                              beta: float = 1.0,
-                             max_bytes: int = 1 << 31):
+                             max_bytes: int = 1 << 29):
     """Pure-XLA reference/fallback: windowed gather + batched sort quantile
     (the round-2 algorithm, restated on the (n_doy, Y, C) slice layout).
 
@@ -413,6 +413,11 @@ def doy_window_quantiles_xla(xg, q, window: int, alpha: float = 1.0,
     (23.7 GB at 30 y x 16k cells), so cells are streamed through
     ``lax.map`` in slabs sized to ``max_bytes`` of gathered data — one
     compiled slab program, sequential slab dispatches, peak memory bounded.
+    ``max_bytes`` counts only the gather; the sort underneath allocates
+    ~3x that in working copies, and a QDM *train* runs two of these maps in
+    one program with both inputs resident — 512 MB slabs keep the whole
+    16k-cell train under ~6 GB where the 2 GB-slab version RESOURCE_EXHAUSTED
+    a 16 GB v5e (round-4 driver sweep, BENCH_DETAIL.json "QDM 16k").
     """
     from xclim_tpu.ops.quantile import nan_quantile
 
