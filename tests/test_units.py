@@ -131,11 +131,15 @@ class TestAggUnits:
 
     def test_integral_degdays(self):
         tas = test_timeseries(np.arange(52.0) + 10, "tas", units="degC", freq="7D")
+        tas.attrs["units_metadata"] = "temperature: difference"
         dd = tas.sum(dim="time")
         out = to_agg_units(dd, tas, "integral")
-        # 7D sampling: values are multiplied by 7, units become degC-days
-        assert out.attrs["units"] == "d degC"
-        np.testing.assert_allclose(out.values, (np.arange(52.0) + 10).sum() * 7)
+        # 7D sampling reports as one week (xclim:core/units.py:548-551 and
+        # its to_agg_units docstring example: 'degC week')
+        assert out.attrs["units"] == "degC week"
+        np.testing.assert_allclose(out.values, (np.arange(52.0) + 10).sum())
+        out_kd = convert_units_to(out, "K d")
+        np.testing.assert_allclose(out_kd.values, (np.arange(52.0) + 10).sum() * 7)
 
     def test_doymax(self):
         tas = test_timeseries(np.arange(10.0), "tas")

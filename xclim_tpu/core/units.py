@@ -376,7 +376,14 @@ def units2pint(obj) -> Units:
         return parse_units(obj)
     attrs = getattr(obj, "attrs", None)
     if attrs is not None:
-        return parse_units(attrs.get("units", ""))
+        u = parse_units(attrs.get("units", ""))
+        if (attrs.get("units_metadata") == "temperature: difference"
+                and u.dims == _dv(K=1) and not u.delta):
+            # CF marks temperature differences via units_metadata; carry that
+            # into the delta flag so pint2cfattrs round-trips it
+            # (xclim:tests/test_units.py test_temp_difference_rountrip)
+            u = Units(u.scale, 0.0, u.dims, u.symbols, delta=True)
+        return u
     raise UnitError(f"Cannot get units from {type(obj)}")
 
 
@@ -417,16 +424,20 @@ def _conversion(src: Units, tgt: Units, context: str | None = None) -> tuple[flo
 
 
 def infer_context(standard_name: str | None = None, dimension: str | None = None) -> str:
-    """Pick 'hydro' when the variable smells like water mass flux
-    (xclim:core/units.py:1502)."""
+    """Pick 'hydro' when the variable smells like liquid-water mass flux —
+    reference-exact name set (xclim:core/units.py:1502-1542: the three exact
+    evaporation names plus rainfall/lwe/precipitation/surface_snow_amount
+    substrings; notably ``snowfall_flux`` is NOT hydro there)."""
     sn_hydro = standard_name is not None and (
-        "precipitation" in standard_name
-        or "evapotranspiration" in standard_name
-        or "snowfall" in standard_name
-        or standard_name.startswith("lwe_")
-        or "water_evaporation" in standard_name
-        or "moisture" in standard_name
-        or "runoff" in standard_name
+        standard_name in (
+            "water_potential_evapotranspiration_flux",
+            "canopy_water_amount",
+            "water_evaporation_amount",
+        )
+        or "rainfall" in standard_name
+        or "lwe" in standard_name
+        or "precipitation" in standard_name
+        or "surface_snow_amount" in standard_name
     )
     dim_hydro = dimension is not None and "[precipitation]" in dimension
     return "hydro" if (sn_hydro or dim_hydro) else "none"
@@ -511,7 +522,11 @@ _HYDRO_NAMES = {"precipitation", "snowamount"}
 
 
 def _parse_dimensionality(decl: str) -> tuple[tuple, bool]:
-    """'[precipitation]', '[length]/[time]', '[]' → (dim vector, hydro_flexible)."""
+    """'[precipitation]', '[length]/[time]', '[]' → (dim vector, hydro_flexible).
+
+    Parenthesized concrete units are accepted inside the expression —
+    ``'(mm)/[time]'`` — which is how ``declare_relative_units`` declarations
+    read after composition (xclim:core/units.py:1313-1380)."""
     decl = decl.strip()
     if decl in ("[]", ""):
         return _ZERO_DIM, False
@@ -520,13 +535,19 @@ def _parse_dimensionality(decl: str) -> tuple[tuple, bool]:
     parts = decl.split("/")
     for gi, grp in enumerate(parts):
         sgn = 1 if gi == 0 else -1
-        for m in re.finditer(r"\[(\w*)\](?:\s*(?:\*\*|\^)\s*([+-]?\d+))?", grp):
-            name, exp = m.group(1), int(m.group(2) or 1)
-            vec = _NAMED_DIMENSIONS.get(name)
-            if vec is None:
-                raise UnitError(f"Unknown dimensionality name [{name}] in {decl!r}")
-            if name in _HYDRO_NAMES:
-                hydro = True
+        for m in re.finditer(
+                r"(?:\[(\w*)\]|\(([^()]+)\))(?:\s*(?:\*\*|\^)\s*([+-]?\d+))?",
+                grp):
+            name, lit, exp = m.group(1), m.group(2), int(m.group(3) or 1)
+            if lit is not None:
+                vec = parse_units(lit).dims
+            else:
+                vec = _NAMED_DIMENSIONS.get(name)
+                if vec is None:
+                    raise UnitError(
+                        f"Unknown dimensionality name [{name}] in {decl!r}")
+                if name in _HYDRO_NAMES:
+                    hydro = True
             dims = [a + b * sgn * exp for a, b in zip(dims, vec)]
     return tuple(dims), hydro
 
@@ -538,7 +559,7 @@ def check_units(val, dim: str | None) -> None:
         return
     if str(dim) in ("[]", ""):
         expected, hydro = _ZERO_DIM, False
-    elif "[" not in str(dim):
+    elif "[" not in str(dim) and "(" not in str(dim):
         # literal unit string declaration, e.g. declare_units(sum_thresh="K days")
         expected, hydro = parse_units(str(dim)).dims, False
     else:
@@ -558,23 +579,58 @@ def check_units(val, dim: str | None) -> None:
 
 def declare_units(**units_by_name):
     """Attach expected dimensionalities to a compute function and validate
-    quantified inputs at call time (xclim:core/units.py:1424)."""
+    quantified inputs at call time (xclim:core/units.py:1424-1496).
+
+    Applied over a :func:`declare_relative_units` function, the relative
+    declarations are materialized by substituting ``<ref>`` with the
+    declared ``(ref units)``. Parameters annotated ``Quantified`` must all
+    be declared — a missing declaration raises at decoration time."""
 
     def dec(func):
+        import inspect
+
+        decls = dict(units_by_name)
+        rel = getattr(func, "relative_units", None)
+        if rel:
+            for arg, dim in rel.items():
+                if arg in decls:
+                    continue
+                for ref, refdim in units_by_name.items():
+                    dim = dim.replace(f"<{ref}>", f"({refdim})")
+                if "<" in dim:
+                    raise ValueError(
+                        f"Relative declaration {rel[arg]!r} of {arg} refers "
+                        "to a parameter absent from this declare_units call")
+                decls[arg] = dim
+        try:
+            sig = inspect.signature(func)
+        except (TypeError, ValueError):  # pragma: no cover - builtins
+            sig = None
+        if sig is not None:
+            for pname, p in sig.parameters.items():
+                ann = p.annotation
+                if ann is inspect.Parameter.empty or pname in decls:
+                    continue
+                is_quant = isinstance(ann, str) and "Quantified" in ann
+                if is_quant:
+                    raise ValueError(
+                        f"Parameter {pname} is Quantified but has no unit "
+                        "declaration (xclim declare_units contract)")
+
         @functools.wraps(func)
         def wrapper(*args, **kwargs):
-            import inspect
-
-            bound = inspect.signature(func).bind(*args, **kwargs)
+            bound = sig.bind(*args, **kwargs) if sig is not None else None
+            if bound is None:
+                return func(*args, **kwargs)
             bound.apply_defaults()
-            for name, dim in units_by_name.items():
+            for name, dim in decls.items():
                 if name in bound.arguments and bound.arguments[name] is not None:
                     val = bound.arguments[name]
                     if isinstance(val, (str, Quantity)) or hasattr(val, "attrs"):
                         check_units(val, dim)
             return func(*args, **kwargs)
 
-        wrapper.in_units = units_by_name
+        wrapper.in_units = decls
         wrapper.__wrapped__ = func
         return wrapper
 
@@ -637,22 +693,58 @@ def ensure_delta(ustr: str) -> str:
 # ---------------------------------------------------------------------------
 
 _FREQ_UNIT = {"s": "s", "min": "min", "h": "h", "D": "d", "W": "week", "M": "month",
-              "Q": "season", "Y": "yr"}
+              "Y": "yr"}
 
 
-def infer_sampling_units(da, deffreq: str | None = "D") -> tuple[int, str]:
+def infer_sampling_units(da, deffreq: str | None = None) -> tuple[int, str]:
     """(multiplier, unit string) of the sampling frequency
-    (xclim infer_sampling_units)."""
+    (xclim:core/units.py:503-553): quarters count as 3 months, a 7-day
+    step reports as one week, and an uninferable frequency with no
+    ``deffreq`` raises."""
     time = getattr(da, "time", None)
     freq = time.infer_freq() if time is not None and len(time) > 2 else None
     if freq is None:
         freq = deffreq
     if freq is None:
-        raise ValueError("Cannot infer sampling frequency.")
+        raise ValueError("Unable to find the sampling frequency of the data.")
     from xclim_tpu.core.calendar import parse_offset
 
     mult, base, _, _ = parse_offset(freq)
-    return mult, _FREQ_UNIT.get(base, "d")
+    if base == "Q":
+        mult, base = mult * 3, "M"
+    if base not in _FREQ_UNIT:
+        raise ValueError(f"Sampling frequency {freq} has no corresponding "
+                         "CF units.")
+    u = _FREQ_UNIT[base]
+    if u == "d" and mult == 7:
+        mult, u = 1, "week"
+    return mult, u
+
+
+def _reduce_time_symbols(u: Units) -> tuple[Units, float]:
+    """Cancel pure-time symbols against each other (d × h-1 → 24).
+
+    Returns the reduced unit and the factor the DATA must be multiplied by
+    to stay numerically equal. A nonzero net time exponent keeps one symbol
+    (the sampling unit's, i.e. the last positive one)."""
+    tdim = _dv(T=1)
+    tsyms = [(s, e) for s, e in u.symbols if parse_units(s).dims == tdim]
+    if len(tsyms) < 2:
+        return u, 1.0
+    net = sum(e for _, e in tsyms)
+    factor = 1.0
+    for s, e in tsyms:
+        factor *= parse_units(s).scale ** float(e)
+    keep = ()
+    if net != 0:
+        pick = next((s for s, e in reversed(tsyms) if (e > 0) == (net > 0)),
+                    tsyms[-1][0])
+        keep = ((pick, net),)
+        factor /= parse_units(pick).scale ** float(net)
+    others = tuple((s, e) for s, e in u.symbols
+                   if parse_units(s).dims != tdim)
+    syms = tuple(sorted(others + keep))
+    return Units(u.scale, u.offset, u.dims, syms, delta=u.delta), factor
 
 
 def to_agg_units(out, orig, op: str, deffreq: str | None = "D"):
@@ -696,6 +788,13 @@ def to_agg_units(out, orig, op: str, deffreq: str | None = "D"):
                     out.data = out.data * prod.scale
                     out.attrs["units"] = "1"
             else:
+                # the reference reduces mixed time symbols after the
+                # multiplication (pint to_reduced_units,
+                # xclim:core/units.py:721-728): m/h summed daily is 'm'
+                # with the data scaled by 24, not 'd m h-1'
+                prod, factor = _reduce_time_symbols(prod)
+                if factor != 1.0:
+                    out.data = out.data * factor
                 out.attrs.update(pint2cfattrs(prod, is_difference=ou.delta))
     else:
         raise ValueError(f"Unknown aggregation op {op}")
@@ -859,19 +958,28 @@ def ensure_absolute_temperature(units):
     return u
 
 
+#: SI base symbol per dimension slot of ``_DIMS``
+_BASE_SYMBOL = {"L": "m", "M": "kg", "T": "s", "K": "K", "A": "rad",
+                "N": "mol"}
+
+
 def pint_multiply(da, q, out_units: str | None = None):
-    """Multiply a ClimArray by a quantified scalar, tracking units
-    (xclim core/units.py)."""
+    """Multiply a ClimArray by a quantified scalar, tracking units.
+
+    Matches the reference (xclim:core/units.py:231-263): the quantity is
+    first expressed in SI base units, so its symbols cancel against the
+    array's — ``kg m-2 s-1`` times ``1 d`` scales the data by 86400 and
+    prints ``kg m-2``, not ``d kg m-2 s-1``."""
     qty = str2pint(q) if isinstance(q, str) else q
-    scale = qty.magnitude if hasattr(qty, "magnitude") else float(qty)
-    u_in = parse_units(da.attrs.get("units", ""))
+    mag = qty.magnitude if hasattr(qty, "magnitude") else float(qty)
     u_q = qty.units if hasattr(qty, "units") else DIMENSIONLESS
-    new_dims = tuple(a + b for a, b in zip(u_in.dims, u_q.dims))
-    out = da.copy(data=da.data * (scale * u_q.scale / 1.0))
+    u_in = parse_units(da.attrs.get("units", ""))
+    base_syms = tuple((_BASE_SYMBOL[d], e)
+                      for d, e in zip(_DIMS, u_q.dims) if e != 0)
+    u_base = Units(1.0, 0.0, u_q.dims, base_syms)
+    out = da.copy(data=da.data * (mag * u_q.scale))
     out.attrs = dict(da.attrs)
-    new_units = Units(scale=u_in.scale, offset=0.0, dims=new_dims,
-                      symbols=u_in.symbols)
-    out.attrs["units"] = pint2cfunits(new_units) if out_units is None else out_units
+    out.attrs["units"] = pint2cfunits(u_in * u_base)
     if out_units is not None:
         out = convert_units_to(out, out_units)
     return out
