@@ -283,3 +283,24 @@ class TestDeclareUnits:
         full_mm("1 mm", "2 km", "3 mm/s")
         with pytest.raises(UnitError):
             full_mm("1 mm", "2 Pa", "3 mm/s")
+        # call-time check of the bracketed-ref composition ([area] → ([area]))
+        full_area("1 m2", "2 km2", "3 m2/s")
+        with pytest.raises(UnitError):
+            full_area("1 m2", "2 m", "3 m2/s")
+
+    def test_declare_relative_units_slash_ref(self):
+        """A referenced declaration containing '/' must keep its meaning
+        after composition — '(mm/day)' is a rate, not mm·day."""
+        def index(data, thresh, dthreshdt):
+            return None
+
+        ir = declare_relative_units(thresh="<data>",
+                                    dthreshdt="<data>/[time]")(index)
+        full = declare_units(data="mm/day")(ir)
+        # correct rate threshold passes; an amount must raise
+        full("1 mm/day", "2 mm/day", "3 mm/day/day")
+        with pytest.raises(UnitError):
+            full("1 mm/day", "2 mm", "3 mm/day/day")
+        with pytest.raises(UnitError):
+            # (mm/day)/[time] is T^-2·L — a bare rate must not slip through
+            full("1 mm/day", "2 mm/day", "3 mm/day")

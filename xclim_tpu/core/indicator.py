@@ -419,13 +419,24 @@ class Indicator:
         target = attrs.get("units")
         if target is None:
             return out
-        if units2pint(out).dims != units2pint(str(target)).dims:
-            try:
-                out = convert_units_to(out, target, context="infer")
-            except Exception:
-                return out
-        elif out.attrs.get("units") != target:
-            out = convert_units_to(out, target, context=self.context)
+        # the reference converts with the indicator's declared context
+        # (xclim:core/indicator.py:917 passes self.context; Precip/Streamflow
+        # realms declare "hydro"), falling back to inference from the
+        # target's or output's standard_name (xclim:core/units.py:358-376).
+        # Errors propagate: a dimensionality mismatch the context does not
+        # license must raise, not silently return the unconverted output.
+        context = None if self.context in (None, "none") else self.context
+        if context is None:
+            from xclim_tpu.core.units import infer_context
+
+            for sn in (attrs.get("standard_name"),
+                       out.attrs.get("standard_name")):
+                if infer_context(sn) == "hydro":
+                    context = "hydro"
+                    break
+        if (units2pint(out).dims != units2pint(str(target)).dims
+                or out.attrs.get("units") != target):
+            out = convert_units_to(out, target, context=context)
         # the reference re-derives the attr from the declared target via
         # pint2cfattrs (xclim:core/units.py:412): dimensionless renders as
         # the CF "1", and the declared spelling ("days", not the canonical

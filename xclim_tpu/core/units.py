@@ -12,6 +12,7 @@ jitted device code — there is never a unit object on the TPU.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import re
 from dataclasses import dataclass
@@ -93,10 +94,12 @@ _def("week weeks wk", 604800.0, _dv(T=1), canon="week")
 # mean Gregorian month, as in pint's default registry (year/12)
 _def("month months mon", 365.25 * 86400 / 12, _dv(T=1), canon="month")
 _def("yr year years a annum", 365.25 * 86400, _dv(T=1), canon="yr")
-_def("K kelvin kelvins degK", 1.0, _dv(K=1))
-_def("degC celsius C degreeC degrees_Celsius degree_Celsius °C ℃", 1.0, _dv(K=1),
+_def("K kelvin Kelvin kelvins degK deg_K", 1.0, _dv(K=1))
+_def("degC celsius Celsius C deg_C degreeC degree_C degrees_C centigrade "
+     "degrees_Celsius degree_Celsius °C ℃", 1.0, _dv(K=1),
      offset=273.15, canon="degC")
-_def("degF fahrenheit degreeF degrees_Fahrenheit °F", 5.0 / 9.0, _dv(K=1),
+_def("degF fahrenheit Fahrenheit deg_F degreeF degree_F degrees_F "
+     "degrees_Fahrenheit °F", 5.0 / 9.0, _dv(K=1),
      offset=459.67 * 5.0 / 9.0, canon="degF")
 _def("delta_degC delta_celsius", 1.0, _dv(K=1), canon="delta_degC")
 _def("delta_degF delta_fahrenheit", 5.0 / 9.0, _dv(K=1), canon="delta_degF")
@@ -331,6 +334,14 @@ class Quantity:
         return Quantity(self.magnitude / other, self.units)
 
 
+#: stack of contexts enabled via ``with units.context(...)`` — consulted by
+#: ``_conversion`` whenever no explicit context is passed, mirroring pint's
+#: enabled-context semantics the reference relies on
+#: (xclim:indices/_threshold.py:830,2927 wrap spell calls in
+#: ``with units.context("hydro")``).
+_ACTIVE_CONTEXTS: list[str] = []
+
+
 class _Registry:
     """Minimal pint-registry lookalike: ``units.Quantity("5 mm/d")`` etc."""
 
@@ -348,15 +359,37 @@ class _Registry:
     def parse_units(self, s):
         return parse_units(s)
 
+    @staticmethod
+    @contextlib.contextmanager
+    def context(name: str):
+        """pint-style enabled-context block: conversions inside use `name`
+        when no explicit context is given (xclim:core/units.py:442)."""
+        _ACTIVE_CONTEXTS.append(str(name))
+        try:
+            yield
+        finally:
+            _ACTIVE_CONTEXTS.pop()
+
+
+def _default_context() -> str | None:
+    """Innermost ``units.context(...)`` block's context, or None."""
+    ctx = _ACTIVE_CONTEXTS[-1] if _ACTIVE_CONTEXTS else None
+    return None if ctx in (None, "none") else ctx
+
 
 units = _Registry()
 
 
-_Q_RE = re.compile(r"^\s*([+-]?\d*\.?\d+(?:[eE][+-]?\d+)?)?\s*(.*)$")
+_Q_RE = re.compile(
+    r"^\s*([+-]?(?:\d*\.?\d+(?:[eE][+-]?\d+)?"
+    r"|[nN][aA][nN](?=[\s*/]|$)"
+    r"|[iI][nN][fF](?:inity)?(?=[\s*/]|$)))?\s*(.*)$"
+)
 
 
 def str2pint(val) -> Quantity:
-    """'30 degC' → Quantity (xclim:core/units.py str2pint)."""
+    """'30 degC' → Quantity (xclim:core/units.py str2pint). NaN/inf
+    magnitudes parse like pint's ('nan m^2 K^-3')."""
     if isinstance(val, Quantity):
         return val
     if isinstance(val, (int, float)):
@@ -411,7 +444,9 @@ def _conversion(src: Units, tgt: Units, context: str | None = None) -> tuple[flo
         factor = src.scale / tgt.scale
         delta = (src.offset - tgt.offset) / tgt.scale
         return factor, delta
-    if context in ("hydro", "infer"):
+    if context is None:
+        context = _default_context()  # enabled via `with units.context(...)`
+    if context == "hydro":
         diff = tuple(a - b for a, b in zip(src.dims, tgt.dims))
         if diff == _DENSITY_DIM:  # mass/area[/time] → length[/time]: divide by density
             return src.scale / tgt.scale / WATER_DENSITY, 0.0
@@ -439,7 +474,8 @@ def infer_context(standard_name: str | None = None, dimension: str | None = None
         or "precipitation" in standard_name
         or "surface_snow_amount" in standard_name
     )
-    dim_hydro = dimension is not None and "[precipitation]" in dimension
+    dim_hydro = dimension is not None and (
+        "[precipitation]" in dimension or "[snowamount]" in dimension)
     return "hydro" if (sn_hydro or dim_hydro) else "none"
 
 
@@ -449,6 +485,16 @@ def convert_units_to(source, target, context: str | None = None):
 
     For ClimArrays the data is scaled lazily (jax-traceable) and the units attr
     becomes the target's CF form.
+
+    The hydro context (mass of water ↔ thickness) is **opt-in**, matching the
+    reference: it applies only with ``context="hydro"``, or with
+    ``context="infer"`` when the source's or target's ``standard_name``
+    identifies a water quantity (xclim:core/units.py:380-397). With
+    ``context=None`` an implicit mass↔length conversion raises
+    :class:`UnitError` — *except* for ClimArray sources whose own
+    ``standard_name`` is hydro, mirroring the reference's automatic CF
+    conversions (amount2lwethickness family, xclim:core/units.py:414-436),
+    which fire on standard_name regardless of context.
     """
     from xclim_tpu.core.dataarray import ClimArray  # local import to avoid cycle
 
@@ -457,24 +503,29 @@ def convert_units_to(source, target, context: str | None = None):
     else:
         tgt = parse_units(target) if not isinstance(target, Units) else target
 
+    if context == "infer":
+        ctxs = set()
+        if hasattr(source, "attrs"):
+            ctxs.add(infer_context(source.attrs.get("standard_name")))
+        if hasattr(target, "attrs"):
+            ctxs.add(infer_context(target.attrs.get("standard_name")))
+        context = "hydro" if "hydro" in ctxs else None
+
     if isinstance(source, str):
         source = str2pint(source)
     if isinstance(source, (int, float)):
         source = Quantity(float(source), tgt)  # bare numbers: assume target units
         return source.magnitude
     if isinstance(source, Quantity):
-        if context in (None, "infer"):
-            context = "hydro" if _hydro_compatible(source.units, tgt) else None
         return source.to(tgt, context).magnitude
 
     # ClimArray
     src = units2pint(source)
-    if context in (None, "infer"):
-        sn = source.attrs.get("standard_name")
-        ctx = infer_context(sn)
-        if ctx == "none" and _hydro_compatible(src, tgt):
-            ctx = "hydro" if context == "infer" else ctx
-        context = ctx if context == "infer" or ctx == "hydro" else context
+    if context is None and src.dims != tgt.dims:
+        # reference's automatic CF conversions: a water standard_name on the
+        # source licenses the mass↔thickness bridge even without a context
+        if infer_context(source.attrs.get("standard_name")) == "hydro":
+            context = "hydro"
     factor, delta = _conversion(src, tgt, context)
     data = source.data
     if factor != 1.0 or delta != 0.0:
@@ -524,24 +575,43 @@ _HYDRO_NAMES = {"precipitation", "snowamount"}
 def _parse_dimensionality(decl: str) -> tuple[tuple, bool]:
     """'[precipitation]', '[length]/[time]', '[]' → (dim vector, hydro_flexible).
 
-    Parenthesized concrete units are accepted inside the expression —
-    ``'(mm)/[time]'`` — which is how ``declare_relative_units`` declarations
-    read after composition (xclim:core/units.py:1313-1380)."""
+    Parenthesized sub-expressions are accepted inside the expression —
+    ``'(mm)/[time]'``, ``'(mm/day)'``, ``'([temperature])'`` — which is how
+    ``declare_relative_units`` declarations read after composition
+    (xclim:core/units.py:1313-1380). Groups are extracted *before* the '/'
+    split so slashes inside a group keep their meaning, and a group may
+    itself contain bracketed dimension names (resolved recursively)."""
     decl = decl.strip()
     if decl in ("[]", ""):
         return _ZERO_DIM, False
     hydro = False
+    # Pre-extract parenthesized groups into placeholder names so the
+    # outer '/'-split can't cut through them; nested declarations recurse.
+    group_dims: dict[str, tuple] = {}
+
+    def _sub(m: re.Match) -> str:
+        nonlocal hydro
+        lit = m.group(1)
+        if "[" in lit:
+            vec, h = _parse_dimensionality(lit)
+            hydro = hydro or h
+        else:
+            vec = parse_units(lit).dims
+        key = f"__group{len(group_dims)}__"
+        group_dims[key] = vec
+        return f"[{key}]{m.group(2) or ''}"
+
+    decl_flat = re.sub(r"\(([^()]+)\)(\s*(?:\*\*|\^)\s*[+-]?\d+)?", _sub, decl)
+
     dims = list(_ZERO_DIM)
-    parts = decl.split("/")
+    parts = decl_flat.split("/")
     for gi, grp in enumerate(parts):
         sgn = 1 if gi == 0 else -1
         for m in re.finditer(
-                r"(?:\[(\w*)\]|\(([^()]+)\))(?:\s*(?:\*\*|\^)\s*([+-]?\d+))?",
-                grp):
-            name, lit, exp = m.group(1), m.group(2), int(m.group(3) or 1)
-            if lit is not None:
-                vec = parse_units(lit).dims
-            else:
+                r"\[(\w*)\](?:\s*(?:\*\*|\^)\s*([+-]?\d+))?", grp):
+            name, exp = m.group(1), int(m.group(2) or 1)
+            vec = group_dims.get(name)
+            if vec is None:
                 vec = _NAMED_DIMENSIONS.get(name)
                 if vec is None:
                     raise UnitError(
@@ -747,7 +817,7 @@ def _reduce_time_symbols(u: Units) -> tuple[Units, float]:
     return Units(u.scale, u.offset, u.dims, syms, delta=u.delta), factor
 
 
-def to_agg_units(out, orig, op: str, deffreq: str | None = "D"):
+def to_agg_units(out, orig, op: str, deffreq: str | None = None):
     """Set units after a time aggregation (xclim:core/units.py:621).
 
     count → sampling unit ('d'); integral → units × time; doymin/doymax → ''

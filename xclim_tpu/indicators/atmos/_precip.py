@@ -76,6 +76,7 @@ class PrecipWithIndexing(ResamplingIndicatorWithIndexing):
 class HrPrecip(Hourly):
     """Indicator on hourly pr series (xclim:atmos/_precip.py:120)."""
 
+    realm = "atmos"
     context = "hydro"
     keywords = "precipitation"
     src_freq = "h"

@@ -14,7 +14,8 @@ class Generic(ResamplingIndicator):
 stats = Generic(
     identifier="stats",
     title="Simple resampled statistic of the values.",
-    units="",
+    # no declared units: the output keeps the units to_agg_units derives
+    # from the input (reference declares none, xclim:generic/_stats.py:52-60)
     var_name="stat_{indexer}{op:r}",
     long_name="{op:noun} of variable",
     description="{freq} {op:noun} of variable ({indexer}).",
@@ -57,7 +58,8 @@ fit = GenericReducing(
 return_level = GenericReducing(
     identifier="return_level",
     title="Return level from frequency analysis",
-    units="",
+    # no declared units: frequency_analysis restores the input's units
+    # (reference declares none, xclim:generic/_stats.py:39-48)
     var_name="fa_{window}{mode:r}{indexer}",
     long_name="N-year return level",
     description="Frequency analysis for the {mode} {indexer} {window}-day "

@@ -20,6 +20,7 @@ from xclim_tpu.core.units import (
     rate2amount,
     str2pint,
     to_agg_units,
+    units,
     units2pint,
 )
 from xclim_tpu.indices import run_length as rl
@@ -296,20 +297,24 @@ def dry_days(pr: ClimArray, thresh: str = "0.2 mm/d", freq: str = "YS",
 def maximum_consecutive_wet_days(pr: ClimArray, thresh: str = "1 mm/day",
                                  op: str = ">=", freq: str = "YS",
                                  resample_before_rl: bool = True) -> ClimArray:
-    """Longest wet spell (xclim:_threshold.py:799)."""
-    return spell_length_statistics(pr, thresh, 1, win_reducer="min", op=op,
-                                   spell_reducer="max", freq=freq,
-                                   resample_before_rl=resample_before_rl)
+    """Longest wet spell (xclim:_threshold.py:799 — threshold conversion
+    under ``with units.context("hydro")``, :830)."""
+    with units.context("hydro"):
+        return spell_length_statistics(pr, thresh, 1, win_reducer="min",
+                                       op=op, spell_reducer="max", freq=freq,
+                                       resample_before_rl=resample_before_rl)
 
 
 @declare_units(pr="[precipitation]", thresh="[precipitation]")
 def maximum_consecutive_dry_days(pr: ClimArray, thresh: str = "1 mm/day",
                                  op: str = "<", freq: str = "YS",
                                  resample_before_rl: bool = True) -> ClimArray:
-    """Longest dry spell (xclim:_threshold.py:2896)."""
-    return spell_length_statistics(pr, thresh, 1, win_reducer="max", op=op,
-                                   spell_reducer="max", freq=freq,
-                                   resample_before_rl=resample_before_rl)
+    """Longest dry spell (xclim:_threshold.py:2896 — threshold conversion
+    under ``with units.context("hydro")``, :2927)."""
+    with units.context("hydro"):
+        return spell_length_statistics(pr, thresh, 1, win_reducer="max",
+                                       op=op, spell_reducer="max", freq=freq,
+                                       resample_before_rl=resample_before_rl)
 
 
 @declare_units(pr="[precipitation]", thresh="[precipitation]")
