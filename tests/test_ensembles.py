@@ -166,6 +166,27 @@ class TestReduce:
         assert len(ids) == 4
         assert labels.shape == (12,)
 
+    def test_kmeans_rsq_graph_and_plot(self):
+        """make_graph=True fills fig_data; plot_rsqprofile renders it
+        (xclim:ensembles/_reduce.py:451)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from xclim_tpu.ensembles import plot_rsqprofile
+
+        for method in ({"rsq_cutoff": 0.75}, {"rsq_optimize": None},
+                       {"n_clusters": 4}):
+            ids, labels, fig_data = kmeans_reduce_ensemble(
+                self._crit(), method=method, make_graph=True, random_state=0)
+            assert fig_data["realizations"] == 12
+            assert len(fig_data["rsq"]) == 12
+            assert fig_data["n_clusters"] == len(ids)
+            # R² is a nondecreasing profile reaching 1 at k = n
+            rsq = np.asarray(fig_data["rsq"])
+            assert rsq[-1] > 0.999
+            plot_rsqprofile(fig_data)
+            plt.close("all")
+
     def test_make_criteria(self):
         ens = create_ensemble(_members(5, nt=10))
         crit = make_criteria(ens)

@@ -20,6 +20,7 @@ from xclim_tpu.ensembles._reduce import (  # noqa: F401
     kkz_reduce_ensemble,
     kmeans_reduce_ensemble,
     make_criteria,
+    plot_rsqprofile,
 )
 from xclim_tpu.ensembles._robustness import (  # noqa: F401
     robustness_categories,

@@ -8,7 +8,8 @@ import numpy as np
 
 from xclim_tpu.core.dataarray import ClimArray, ClimDataset
 
-__all__ = ["kkz_reduce_ensemble", "kmeans_reduce_ensemble", "make_criteria"]
+__all__ = ["kkz_reduce_ensemble", "kmeans_reduce_ensemble", "make_criteria",
+           "plot_rsqprofile"]
 
 
 def make_criteria(ds: ClimDataset | ClimArray) -> ClimArray:
@@ -81,7 +82,8 @@ def kmeans_reduce_ensemble(data, *, method: dict | None = None, make_graph: bool
         z = z * np.asarray(variable_weights)
 
     method = method or {"n_clusters": max(n // 4, 2)}
-    if "rsq_cutoff" in method or "rsq_optimize" in method:
+    rsq = None
+    if "rsq_cutoff" in method or "rsq_optimize" in method or make_graph:
         # R² profile over cluster counts
         max_k = max_clusters or n
         inertias = []
@@ -91,6 +93,7 @@ def kmeans_reduce_ensemble(data, *, method: dict | None = None, make_graph: bool
             inertias.append(km.inertia_)
         tot = inertias[0]
         rsq = 1 - np.asarray(inertias) / (tot if tot else 1)
+    if "rsq_cutoff" in method or "rsq_optimize" in method:
         if "rsq_cutoff" in method:
             n_clusters = int(np.searchsorted(rsq, method["rsq_cutoff"]) + 1)
         else:
@@ -113,5 +116,60 @@ def kmeans_reduce_ensemble(data, *, method: dict | None = None, make_graph: bool
         if sample_weights is not None:
             d = d / np.asarray(sample_weights)[members]
         ids.append(int(members[np.argmin(d)]))
-    fig_data = {"eps": None}
+    fig_data = {"method": dict(method), "rsq": rsq, "realizations": n,
+                "n_clusters": n_clusters}
+    if max_clusters is not None:
+        fig_data["max_clusters"] = max_clusters
     return sorted(ids), labels, fig_data
+
+
+def plot_rsqprofile(fig_data: dict):
+    """R² profile plot from ``kmeans_reduce_ensemble(make_graph=True)``
+    output (xclim:ensembles/_reduce.py:451): R² of k clusters vs the full
+    ensemble, with the selection marked per method."""
+    try:
+        import matplotlib.pyplot as plt
+    except ImportError as err:  # pragma: no cover - mpl is present in CI
+        raise ModuleNotFoundError(
+            "Matplotlib is not installed. No plotting functions are "
+            "supported.") from err
+
+    rsq = np.asarray(fig_data["rsq"], dtype=float)
+    n_sim = fig_data["realizations"]
+    n_clusters = fig_data["n_clusters"]
+    plt.figure(figsize=(10, 6))
+    plt.plot(range(1, len(rsq) + 1), rsq, "k-o", label="R²",
+             linewidth=0.8, markersize=4)
+    axes = plt.gca()
+    axes.set_xlim([0, n_sim])
+    axes.set_ylim([0, 1])
+    plt.xlabel("Number of groups")
+    plt.ylabel("R²")
+    plt.title("R² of groups vs. full ensemble")
+    method = fig_data.get("method", {})
+    if "rsq_cutoff" in method:
+        col, label = "k--", (f"R² selection > {method['rsq_cutoff']} "
+                             f"(n = {n_clusters})")
+        if "max_clusters" in fig_data and rsq[n_clusters - 1] < method["rsq_cutoff"]:
+            col = "r--"
+            label = (f"R² selection = {rsq[n_clusters - 1].round(2)} "
+                     f"(n = {n_clusters}) : max_clusters = "
+                     f"{fig_data['max_clusters']}")
+        plt.plot((0, n_clusters, n_clusters),
+                 (rsq[n_clusters - 1], rsq[n_clusters - 1], 0), col,
+                 label=label, linewidth=0.75)
+    elif "rsq_optimize" in method:
+        onetoone = (-1.0 / (n_sim - 1)
+                    + np.arange(1, n_sim + 1) * (1.0 / (n_sim - 1)))
+        plt.plot(range(1, min(len(rsq), n_sim) + 1),
+                 onetoone[:len(rsq)], color=[0.25, 0.25, 0.75],
+                 label="Theoretical constant increase in R²", linewidth=0.5)
+        plt.plot((0, n_clusters, n_clusters),
+                 (rsq[n_clusters - 1], rsq[n_clusters - 1], 0), "k--",
+                 label=f"Optimized R² cost / benefit (n = {n_clusters})",
+                 linewidth=0.75)
+    else:
+        plt.plot((0, n_clusters, n_clusters),
+                 (rsq[n_clusters - 1], rsq[n_clusters - 1], 0), "k--",
+                 label=f"n = {n_clusters} (user defined)", linewidth=0.75)
+    plt.legend(loc="lower right")
