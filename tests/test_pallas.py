@@ -184,3 +184,88 @@ class TestDispatch:
         set_pallas_mode(None)
         monkeypatch.delenv("XCLIM_TPU_PALLAS", raising=False)
         assert capability.pallas_mode() == "off"  # CPU can't compile Mosaic
+
+
+class TestWinquantileTriState:
+    """Round-5: a transient probe failure must not silently demote sdba
+    training to the XLA fallback (BENCH r4 "QDM 1k" was 8x slow from
+    exactly this). The probe is tri-state; "attempt" makes the train caller
+    try the real kernel and retrace without it on failure."""
+
+    def _reset(self):
+        from xclim_tpu.ops.pallas.capability import (set_pallas_mode,
+                                                     set_winquantile_state)
+
+        set_pallas_mode(None)
+        set_winquantile_state(None)
+
+    def test_transient_probe_failure_yields_attempt(self, monkeypatch):
+        from xclim_tpu.ops.pallas import capability
+
+        self._reset()
+        monkeypatch.setattr(capability, "pallas_mode", lambda: "mosaic")
+        monkeypatch.setattr(capability, "_PROBE_TRIES", 2)
+
+        def boom(*a, **k):
+            raise RuntimeError("HTTP 500: transient remote-compile error")
+
+        import xclim_tpu.ops.pallas.winquantile as wq
+        monkeypatch.setattr(wq, "doy_window_quantiles", boom)
+        # avoid marker short-circuit
+        monkeypatch.setattr(capability, "_probe_cache_path", lambda: None)
+        assert capability.winquantile_state() == "attempt"
+        self._reset()
+
+    def test_numeric_mismatch_yields_no(self, monkeypatch):
+        import numpy as np
+
+        from xclim_tpu.ops.pallas import capability
+
+        self._reset()
+        monkeypatch.setattr(capability, "pallas_mode", lambda: "mosaic")
+        monkeypatch.setattr(capability, "_PROBE_TRIES", 2)
+
+        import xclim_tpu.ops.pallas.winquantile as wq
+        monkeypatch.setattr(
+            wq, "doy_window_quantiles",
+            lambda x, q, w, **k: np.full((x.shape[0], len(q), x.shape[2]),
+                                         123.0, np.float32))
+        monkeypatch.setattr(capability, "_probe_cache_path", lambda: None)
+        assert capability.winquantile_state() == "no"
+        self._reset()
+
+    def test_train_core_fallback_retraces_without_pallas(self, monkeypatch):
+        from xclim_tpu.ops.pallas import capability
+        from xclim_tpu.sdba import adjustment
+
+        self._reset()
+        capability.set_winquantile_state("attempt")
+        calls = []
+
+        def core(*args, use_pallas=None, **kw):
+            calls.append(use_pallas)
+            if use_pallas:
+                raise RuntimeError("Mosaic compile failed")
+            return "ok"
+
+        out = adjustment._run_train_core(core, 1, 2, q_tuple=(0.5,))
+        assert out == "ok"
+        assert calls == [True, False]
+        # the failure demoted the process so later trains skip the attempt
+        assert capability.winquantile_state() == "no"
+        self._reset()
+
+    def test_train_core_verified_path_raises_through(self):
+        from xclim_tpu.ops.pallas import capability
+        from xclim_tpu.sdba import adjustment
+        import pytest as _pytest
+
+        self._reset()
+        capability.set_winquantile_state("no")
+
+        def core(*args, use_pallas=None, **kw):
+            raise ValueError("real error, not a pallas one")
+
+        with _pytest.raises(ValueError):
+            adjustment._run_train_core(core)
+        self._reset()

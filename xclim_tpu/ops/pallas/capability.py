@@ -23,7 +23,8 @@ from __future__ import annotations
 import os
 
 __all__ = ["pallas_mode", "set_pallas_mode", "mosaic_supported",
-           "winquantile_supported", "segred_supported",
+           "winquantile_supported", "winquantile_state",
+           "set_winquantile_state", "segred_supported",
            "axisquantile_supported", "qdmadjust_supported",
            "spell_engine", "set_spell_engine", "dispatch_counts"]
 
@@ -92,6 +93,10 @@ def _retry_probe(fn) -> bool:
 #: read by bench.py so the benchmark records which engine actually ran
 dispatch_counts = {"pallas": 0, "xla": 0}
 
+#: winquantile (sdba train) routing — its own counter so QDM traffic does
+#: not masquerade as spell-engine traffic in the bench artifact
+wq_dispatch_counts = {"pallas": 0, "xla": 0}
+
 
 def _probe_cache_path() -> str | None:
     """Disk marker for a successful probe, keyed by backend identity.
@@ -150,17 +155,30 @@ def _probe_mosaic() -> bool:
     return ok
 
 
-_WQ_OK: bool | None = None
+_WQ_STATE: str | None = None  # "yes" | "no" | "attempt"
 
 
-def _probe_winquantile() -> bool:
+def _probe_winquantile() -> str:
     """Compile + run the windowed-quantile kernel at a tiny shape (its own
     probe: the spell kernel compiling does not imply this one does — the
-    remote Mosaic helper accepts/rejects per-program)."""
+    remote Mosaic helper accepts/rejects per-program).
+
+    Tri-state result (round-5 fix for the silently-slow QDM 1k row: a
+    transient tunnel failure during this probe demoted the whole process to
+    the XLA fallback, 565 ms vs 70 ms train at 1024 cells):
+
+    - ``"yes"``  — compiled, ran, and matched the XLA oracle;
+    - ``"no"``   — ran but MISMATCHED the oracle (correctness: hard off);
+    - ``"attempt"`` — every try raised (transient tunnel HTTP 500 /
+      timeout): the caller should attempt the real kernel and fall back to
+      XLA at runtime if the production compile also fails.
+    """
     marker = _probe_cache_path()
     marker = marker + "_wq" if marker else None
     if marker and os.path.exists(marker):
-        return True
+        return "yes"
+
+    raised = [0]
 
     def body():
         import numpy as np
@@ -172,29 +190,54 @@ def _probe_winquantile() -> bool:
         x = rng.normal(0, 1, (20, 4, 8)).astype(np.float32)
         x[1, 2, 3] = np.nan
         q = np.array([0.1, 0.9], np.float32)
-        a = np.asarray(doy_window_quantiles(x, q, 5, db=8))
+        try:
+            a = np.asarray(doy_window_quantiles(x, q, 5, db=8))
+        except Exception:
+            raised[0] += 1
+            raise
         b = np.asarray(doy_window_quantiles_xla(x, q, 5))
         return bool(np.allclose(a, b, rtol=1e-5, atol=1e-5, equal_nan=True))
 
     ok = _retry_probe(body)
-    if ok and marker:
-        with open(marker, "w") as f:
-            f.write("ok\n")
-    return ok
+    if ok:
+        if marker:
+            with open(marker, "w") as f:
+                f.write("ok\n")
+        return "yes"
+    # every attempt raised (nothing ever ran) → transient; a completed run
+    # with wrong numbers → hard off
+    return "attempt" if raised[0] >= _PROBE_TRIES else "no"
+
+
+def winquantile_state() -> str:
+    """Tri-state dispatch decision for the windowed-quantile kernel:
+    ``"yes"`` (probe-verified), ``"no"`` (unavailable or numerically
+    wrong), ``"attempt"`` (probe only failed transiently — try the real
+    kernel, fall back at runtime)."""
+    global _WQ_STATE
+    if _WQ_STATE is None:
+        mode = pallas_mode()
+        if mode == "off":
+            _WQ_STATE = "no"
+        elif mode == "interpret":
+            _WQ_STATE = "no"  # interpret is for kernel tests, too slow to serve
+        else:
+            _WQ_STATE = _probe_winquantile()
+    return _WQ_STATE
+
+
+def set_winquantile_state(state: str | None) -> None:
+    """Override the winquantile dispatch (``None`` re-probes next call);
+    used by the sdba train path when an optimistic attempt fails."""
+    global _WQ_STATE
+    if state is not None and state not in ("yes", "no", "attempt"):
+        raise ValueError(f"unknown winquantile state {state!r}")
+    _WQ_STATE = state
 
 
 def winquantile_supported() -> bool:
     """Whether the Pallas windowed-quantile kernel serves this process."""
-    global _WQ_OK
-    if _WQ_OK is None:
-        mode = pallas_mode()
-        if mode == "off":
-            _WQ_OK = False
-        elif mode == "interpret":
-            _WQ_OK = False  # interpret is for kernel tests, too slow to serve
-        else:
-            _WQ_OK = _probe_winquantile()
-    return _WQ_OK
+    return winquantile_state() == "yes"
 
 
 _SR_OK: bool | None = None

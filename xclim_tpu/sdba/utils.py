@@ -48,6 +48,16 @@ def _winquantile_mode() -> bool:
     return winquantile_supported()
 
 
+def wq_attempt() -> bool:
+    """Whether sdba train should TRY the Pallas winquantile kernel:
+    probe-verified, or probe failure was transient ("attempt" — the caller
+    must wrap the jitted call and retry with ``use_pallas=False`` on
+    failure; see adjustment._run_train_core)."""
+    from xclim_tpu.ops.pallas.capability import winquantile_state
+
+    return winquantile_state() in ("yes", "attempt")
+
+
 def gather_doy_slices(xf, doy_table):
     """(T, ...) time-first array -> (n_doy, occ, ...) doy slices, NaN padded."""
     t = jnp.asarray(doy_table)
@@ -57,7 +67,7 @@ def gather_doy_slices(xf, doy_table):
 
 
 def windowed_doy_quantile(xf, doy_table, window: int, q, alpha: float = 1.0,
-                          beta: float = 1.0):
+                          beta: float = 1.0, use_pallas: bool | None = None):
     """Quantiles of every ±half-doy window: (n_doy, nq, ...space).
 
     Dispatches to the Pallas merge kernel (ops/pallas/winquantile.py) when
@@ -65,18 +75,20 @@ def windowed_doy_quantile(xf, doy_table, window: int, q, alpha: float = 1.0,
     share Hyndman-Fan semantics with :func:`nan_quantile` (outputs may differ
     by ~1 ulp of the interpolation weight between engines).
     """
-    from xclim_tpu.ops.pallas.capability import dispatch_counts
+    from xclim_tpu.ops.pallas.capability import wq_dispatch_counts
     from xclim_tpu.ops.pallas.winquantile import (
         doy_window_quantiles, doy_window_quantiles_xla)
 
     xd = gather_doy_slices(xf, doy_table)         # (n_doy, occ, ...space)
     sshape = xd.shape[2:]
     xd2 = xd.reshape(xd.shape[:2] + (-1,)) if xd.ndim != 3 else xd
-    if _winquantile_mode():
-        dispatch_counts["pallas"] += 1
+    if use_pallas is None:
+        use_pallas = _winquantile_mode()
+    if use_pallas:
+        wq_dispatch_counts["pallas"] += 1
         out = doy_window_quantiles(xd2, q, window, alpha=alpha, beta=beta)
     else:
-        dispatch_counts["xla"] += 1
+        wq_dispatch_counts["xla"] += 1
         out = doy_window_quantiles_xla(xd2, q, window, alpha=alpha, beta=beta)
     return out.reshape(out.shape[:2] + sshape)
 
