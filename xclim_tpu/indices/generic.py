@@ -178,6 +178,9 @@ def threshold_count(da: ClimArray, op: str, threshold, freq: str,
     out = _pallas_threshold_count(da, op, thresh, freq)
     if out is not None:
         return out
+    from xclim_tpu.ops.pallas.capability import dispatch_counts
+
+    dispatch_counts["xla"] += 1
     c = compare(da, op, thresh, constrain)
     # NaN input → not counted, but all-NaN handled by missing masks
     out = c.astype(jnp.float32).resample(freq).sum()
@@ -221,8 +224,7 @@ def _pallas_threshold_count(da: ClimArray, op: str, thresh, freq: str):
         from xclim_tpu.ops.pallas.capability import set_pallas_mode
 
         set_pallas_mode("off")
-        dispatch_counts["xla"] += 1
-        return None
+        return None  # caller counts the XLA fallback dispatch
     dispatch_counts["pallas"] += 1
     out_data = jnp.moveaxis(cnt.reshape((spec.nseg,) + xf.shape[1:]), 0, ax)
     coords = dict(da.coords)
