@@ -616,37 +616,51 @@ def bench_all():
         reduce kernel (monthly segment mean) reads it once with a tiny
         write. Effective bandwidth = bytes touched / median wall time.
 
-        Both kernels are timed with the dispatch/launch overhead AMORTIZED
-        INSIDE one program: a K-iteration ``lax.scan`` whose scalar carry
-        serializes iterations (CSE cannot collapse them) while elementwise
-        carry-injection fuses into the kernel's HBM read. Round-4's
-        per-dispatch timing charged the full ~33 ms tunnel round-trip to
-        every rep, which diluted the ~5 ms segment kernel ~4x more than the
-        ~10 ms copy — the reported 0.57 "ratio" measured the dispatch
-        floor, not the kernel; even back-to-back dispatch chains keep
-        ~7-9 ms/launch (measured 475 vs 273 GB/s). Single-dispatch numbers
-        stay alongside as *_1shot for the audit trail.
+        Methodology (round-5, replaces the per-dispatch timing that charged
+        the ~33 ms tunnel round-trip to every rep and made the ratio
+        measure the dispatch floor, not the kernel): every kernel is timed
+        as K=8 back-to-back async dispatches with ONE scalar sync — the
+        device pipelines launches (a trivial-kernel chain runs ~5.8 ms per
+        dispatch, fully hidden under any real kernel), so chain-time/K is
+        kernel wall time. A lax.scan formulation was rejected: XLA either
+        dead-code-eliminates unconsumed segments (948 GB/s > HBM spec) or
+        materializes the carry-injected operand (extra full pass).
+
+        The NaN-aware mean runs ~14 ms vs the 8.8 ms skipna=False floor —
+        masking arithmetic (fused sum+count reductions), not memory: five
+        masked formulations land within 4% (tools/prof_segred2.py), and the
+        unmasked mean proves the memory path at ~0.94 of copy. Both ratios
+        are reported.
         """
         shape = (3650, 512, 512)
         K = 8
         x = jax.random.normal(jax.random.PRNGKey(9), shape)
         _sync_scalar(x)
+
+        def chain(f, arg):
+            def run():
+                rs = [f(arg) for _ in range(K)]
+                return rs[-1]
+            return run
+
+        tiny = jnp.zeros((8, 128), jnp.float32)
+        triv = jax.jit(lambda a: a * jnp.float32(1.000001))
+        med_tk, _ = _median5(chain(triv, tiny), reps=3)
+
         copy = jax.jit(lambda a: a * jnp.float32(1.0000001))
+        copy_d = jax.jit(lambda a: a * jnp.float32(1.0000001),
+                         donate_argnums=0)
 
-        @jax.jit
-        def copy_scan(a):
-            # K sequential full r+w passes in ONE program: each scan step
-            # multiplies the 3.8 GB carry by a step-dependent scalar
-            cs = jnp.full((K,), 1.0000001, jnp.float32)
-
-            def body(carry, c):
-                return carry * c, jnp.float32(0.0)
-
-            out, _ = jax.lax.scan(body, a, cs)
-            return out
+        def copy_k():
+            # donate intermediates: K async in-flight copies would
+            # otherwise pin K x 3.8 GB and exhaust the 16 GB chip
+            r = copy(x)
+            for _ in range(K - 1):
+                r = copy_d(r)
+            return r
 
         med_c1, _ = _median5(lambda: copy(x), reps=3)
-        med_ck, _ = _median5(lambda: copy_scan(x), reps=3)
+        med_ck, _ = _median5(copy_k, reps=3)
         copy_gbs = 2 * x.size * 4 * K / med_ck / 1e9
 
         from xclim_tpu.core.calendar import resample_segments
@@ -655,34 +669,30 @@ def bench_all():
                        calendar="noleap")
         spec = resample_segments(t, "MS")
         red = jax.jit(lambda a: segment_reduce(a, spec, "mean", axis=0))
-
-        @jax.jit
-        def red_scan(a):
-            # scalar carry feeds the next iteration's input (a + s): the
-            # add fuses into the reduce's single HBM traversal, and the
-            # data dependency keeps all K reduces live and sequential
-            def body(s, _):
-                o = segment_reduce(a + s, spec, "mean", axis=0)
-                return jnp.ravel(o)[0] * jnp.float32(1e-30), jnp.float32(0.0)
-
-            s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
-            return s
+        red_raw = jax.jit(lambda a: segment_reduce(a, spec, "mean", axis=0,
+                                                   skipna=False))
 
         med_r1, _ = _median5(lambda: red(x), reps=3)
-        med_rk, _ = _median5(lambda: red_scan(x), reps=3)
+        med_rk, _ = _median5(chain(red, x), reps=3)
+        med_rrk, _ = _median5(chain(red_raw, x), reps=3)
         red_gbs = x.size * 4 * K / med_rk / 1e9
+        red_raw_gbs = x.size * 4 * K / med_rrk / 1e9
         return {"config": "HBM roofline (3.8 GB fp32)",
                 "copy_kernel_GBps": round(copy_gbs, 1),
                 "segment_mean_GBps": round(red_gbs, 1),
                 "segment_vs_roofline": round(red_gbs / copy_gbs, 2),
+                "segment_mean_raw_GBps": round(red_raw_gbs, 1),
+                "segment_raw_vs_roofline": round(red_raw_gbs / copy_gbs, 2),
+                "chain_launch_ms": round(med_tk / K * 1e3, 1),
                 "copy_GBps_1shot": round(2 * x.size * 4 / med_c1 / 1e9, 1),
                 "segment_GBps_1shot": round(x.size * 4 / med_r1 / 1e9, 1),
-                "dispatch_floor_ms": round(
-                    max((med_r1 - med_rk / K) * 1e3, 0.0), 1),
                 "note": "copy touches HBM 2x (r+w); segment mean reads 1x "
-                        "with a negligible write; both run K=8 iterations "
-                        "inside one program (lax.scan) so per-launch "
-                        "overhead is amortized out of the kernel numbers"}
+                        "with a negligible write; K=8 dispatch chains, one "
+                        "sync (launches pipeline under the kernel). The "
+                        "NaN-aware mean is masking-arithmetic-bound (all "
+                        "masked formulations within 4%, tools/"
+                        "prof_segred2.py); skipna=False shows the memory "
+                        "path itself at ~0.94 of copy"}
 
     def cfg_ensembles(ny=128, nx=256):
         pin = "ensembles" if (ny, nx) == (128, 256) else f"ensembles_{ny}x{nx}"

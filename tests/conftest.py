@@ -18,6 +18,13 @@ import numpy as np
 import pytest
 
 import xclim_tpu  # noqa: E402  (import after env setup)
+
+# the capability probes' retry backoff exists for transient TUNNEL errors;
+# on the CPU test platform a failed Mosaic compile is deterministic, so the
+# 5/10 s sleeps only burn suite wall-clock (VERDICT r4 #8: <15 min subset)
+import xclim_tpu.ops.pallas.capability as _cap  # noqa: E402
+
+_cap._PROBE_BACKOFF_S = 0.0
 from xclim_tpu.core.calendar import TimeIndex, date_range
 from xclim_tpu.core.dataarray import ClimArray
 from xclim_tpu.testing.helpers import test_timeseries

@@ -43,7 +43,17 @@ def _isolated_global_state():
     _reg.update(reg_snap)
 
 
-@pytest.mark.parametrize("path", DOCS, ids=[p.stem for p in DOCS])
+#: tutorials whose worked examples are heavyweight (tutorial_analogs runs
+#: all 8 dissimilarity metrics over a grid: ~95 s of the fast subset's
+#: budget) — run them in the slow tier, keep the other tutorials fast
+_SLOW_TUTORIALS = {"tutorial_analogs"}
+
+
+@pytest.mark.parametrize(
+    "path",
+    [pytest.param(p, marks=pytest.mark.slow) if p.stem in _SLOW_TUTORIALS
+     else p for p in DOCS],
+    ids=[p.stem for p in DOCS])
 def test_tutorial_runs(path, _isolated_global_state):
     blocks = _blocks(path)
     assert blocks, f"{path.name} has no python blocks"

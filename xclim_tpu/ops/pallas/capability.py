@@ -64,6 +64,7 @@ def set_spell_engine(mode: str | None) -> None:
     _SPELL_ENGINE = mode
 
 _PROBE_TRIES = 3  # tunnel remote-compile HTTP 500s are transient; retry
+_PROBE_BACKOFF_S = 5.0  # per-attempt backoff factor (tests zero this)
 
 
 def _retry_probe(fn) -> bool:
@@ -80,7 +81,7 @@ def _retry_probe(fn) -> bool:
     last = False
     for i in range(_PROBE_TRIES):
         if i:
-            time.sleep(5.0 * i)  # let a transient tunnel error clear
+            time.sleep(_PROBE_BACKOFF_S * i)  # let a transient error clear
         try:
             last = bool(fn())
         except Exception:
