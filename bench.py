@@ -315,7 +315,7 @@ def main():
 #: stable row keys, in sweep order — must match the configs list in
 #: bench_all (asserted there). The --all driver runs one subprocess per key.
 CONFIG_KEYS = ("tg_mean 64", "tg_mean 512", "spells", "spells 448",
-               "spells A/B", "fused chain", "fused chain 384",
+               "spells A/B", "fused chain", "fused chain 320",
                "tx90p bootstrap", "tx90p bootstrap 16k", "QDM 1k",
                "QDM 16k", "ensembles", "ensembles 192x448", "roofline")
 
@@ -505,8 +505,11 @@ def bench_all():
         numpy (tools/baselines.py baseline_chain). size=100 is the
         dispatch-floor row (marginal-cost headline); the saturated row
         proves chain throughput where the floor doesn't dominate."""
+        # saturated size is 320x320: the four 10-y input variables are
+        # 5.98 GB there — 384x384 (8.6 GB) OOMs a 16 GB v5e once the spell
+        # indicators' scan temporaries land on top (measured RESOURCE_EXHAUSTED)
         base = _baseline_block("chain",
-                               pin="chain_384" if size == 384 else "chain",
+                               pin="chain_320" if size == 320 else "chain",
                                ny=size, nx=size,
                                reps=2 if size <= 100 else 1)
         from xclim_tpu.core.indicator import registry
@@ -745,7 +748,7 @@ def bench_all():
                ("spells 448", lambda: cfg_spells(448)),
                ("spells A/B", cfg_spells_ab),
                ("fused chain", cfg_fused_chain),
-               ("fused chain 384", lambda: cfg_fused_chain(384)),
+               ("fused chain 320", lambda: cfg_fused_chain(320)),
                ("tx90p bootstrap", cfg_bootstrap),
                ("tx90p bootstrap 16k", lambda: cfg_bootstrap(128)),
                ("QDM 1k", lambda: cfg_qdm(32)),

@@ -34,7 +34,9 @@ CONFIGS = {
                                  kw=dict(cells=4096, sample_years=6, reps=1)),
     "tx90p_bootstrap_16k": dict(fn="tx90p_bootstrap",
                                 kw=dict(cells=16384, sample_years=2, reps=1)),
-    "chain_384": dict(fn="chain", kw=dict(ny=384, nx=384, reps=1)),
+    # 320x320 is the largest chain the 16 GB v5e fits (4 input vars = 5.98 GB
+    # there; 384x384's 8.6 GB OOMs once spell-scan temporaries land on top)
+    "chain_320": dict(fn="chain", kw=dict(ny=320, nx=320, reps=1)),
     "qdm": dict(fn="qdm", kw=dict(sample_doys=365, reps=1)),
     "ensembles": dict(fn="ensembles", kw=dict(ny=128, nx=256, reps=3)),
     "ensembles_192x448": dict(fn="ensembles", kw=dict(ny=192, nx=448, reps=2)),
