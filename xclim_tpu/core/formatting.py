@@ -138,11 +138,11 @@ def update_history(hist_str: str, *inputs, new_name: str | None = None,
 
     merged = merge_attributes("history", *inputs, new_line="\n", missing_str="",
                               **named_inputs)
-    if merged:
-        merged += "\n"
-    now = _dt.datetime.now(_dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%S")
-    return (f"{merged}[{now}] {new_name or ''}: {hist_str} - xclim_tpu version: "
-            f"{__version__}")
+    # newest entry FIRST, then the merged input histories — the reference's
+    # ordering and timestamp format (xclim:core/formatting.py:431-441)
+    now = _dt.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+    return (f"[{now}] {new_name or ''}: {hist_str} - xclim_tpu version: "
+            f"{__version__}\n") + merged
 
 
 def gen_call_string(funcname: str, *args, **kwargs) -> str:
@@ -162,18 +162,6 @@ def _format_arg(value) -> str:
     if isinstance(value, str):
         return f"'{value}'"
     return str(value)
-
-
-def unprefix_attrs(source: dict, keys: Sequence[str], prefix: str) -> dict:
-    """Remove a prefix from the keys of a dict (xclim:core/formatting.py)."""
-    out = {}
-    n = len(prefix)
-    for k, v in source.items():
-        if k.startswith(prefix) and (kk := k[n:]) in keys:
-            out[kk] = v
-        elif k in keys and k not in out:
-            out[k] = v
-    return out
 
 
 def prefix_attrs(source: dict, keys, prefix: str) -> dict:
@@ -285,17 +273,28 @@ def generate_indicator_docstring(ind) -> str:
 
 
 def update_xclim_history(func):
-    """Decorator appending a call signature to the output's history attr
+    """Decorator appending a call signature to the output's history attr;
+    positional arguments are rendered under their parameter names, matching
+    the reference's ``func(da=tas, arg1=1, ...)`` form
     (xclim:core/formatting.py update_xclim_history)."""
     import functools
+    import inspect
+
+    sig = inspect.signature(func)
 
     @functools.wraps(func)
     def wrapper(*args, **kwargs):
         out = func(*args, **kwargs)
         if hasattr(out, "attrs"):
-            call = gen_call_string(func.__name__, *args, **kwargs)
-            out.attrs["history"] = update_history(call, *[
-                a for a in args if hasattr(a, "attrs")], new_name=getattr(out, "name", None))
+            try:
+                bound = sig.bind(*args, **kwargs).arguments
+            except TypeError:
+                bound = None
+            call = (gen_call_string(func.__name__, **bound) if bound is not None
+                    else gen_call_string(func.__name__, *args, **kwargs))
+            das = [a for a in (*args, *kwargs.values()) if hasattr(a, "attrs")]
+            out.attrs["history"] = update_history(
+                call, *das, new_name=getattr(out, "name", None))
         return out
 
     return wrapper

@@ -285,6 +285,57 @@ class Indicator:
         vals = [a.get("units", "") for a in self.cf_attrs]
         return vals if len(vals) > 1 else vals[0]
 
+    def _get_translated_metadata(self, locale, var_id=None, names=None,
+                                 append_locale_name=True):
+        """Raw translated metadata for this indicator in one locale, looked
+        up by the realm-prefixed id then the registry key; a ``var_id``
+        addresses one output of a multi-output indicator
+        (xclim:core/indicator.py:1060-1083)."""
+        from xclim_tpu.core.locales import get_local_attrs
+
+        ids = [self._registry_id, self._registry_key]
+        if var_id:
+            ids = [f"{i}.{var_id}" for i in ids] + ids
+        return get_local_attrs(ids, locale, names=names,
+                               append_locale_name=append_locale_name)
+
+    def translate_attrs(self, locale, fill_missing: bool = True) -> dict:
+        """Unformatted translated translatable attributes; ``fill_missing``
+        fills untranslated entries with their english values
+        (xclim:core/indicator.py:1171-1223). Accepts the same tag /
+        (tag, dict) / (tag, path) locale forms as
+        :func:`~xclim_tpu.core.locales.get_local_dict`.
+        """
+        import warnings as _warnings
+
+        def _translate(source, names, var_id=None):
+            with _warnings.catch_warnings():
+                # an untranslated indicator is an expected outcome here,
+                # not a user error (reference behavior: silent fill)
+                _warnings.simplefilter("ignore")
+                attrs = self._get_translated_metadata(
+                    locale, var_id=var_id, names=names,
+                    append_locale_name=False)
+            if fill_missing:
+                for name in names:
+                    val = source.get(name) if isinstance(source, dict) \
+                        else getattr(source, name, None)
+                    if name not in attrs and val:
+                        attrs[name] = val
+            return attrs
+
+        global_names = [a for a in TRANSLATABLE_ATTRS if a not in _CF_NAMES]
+        attrs = _translate(self, global_names)
+        attrs["cf_attrs"] = []
+        var_id = None
+        for cf_attrs in self.cf_attrs:
+            if len(self.cf_attrs) > 1:
+                var_id = cf_attrs["var_name"]
+            attrs["cf_attrs"].append(_translate(
+                cf_attrs, [a for a in TRANSLATABLE_ATTRS if a in _CF_NAMES],
+                var_id=var_id))
+        return attrs
+
     # ------------------------------------------------------------------
     # call pipeline (xclim:core/indicator.py:865-945)
     # ------------------------------------------------------------------
@@ -523,11 +574,11 @@ class Indicator:
             try:
                 # translations key by the realm-prefixed id (this repo's
                 # fr.json scheme) or the reference-style registry key
-                # (xclim:core/locales.py:148 keys by registry id)
-                loc_attrs = get_local_attrs(self._registry_id, locale,
-                                            names=TRANSLATABLE_ATTRS) \
-                    or get_local_attrs(self._registry_key, locale,
-                                       names=TRANSLATABLE_ATTRS)
+                # (xclim:core/locales.py:148 keys by registry id); one call,
+                # prefixed id wins on conflicts
+                loc_attrs = get_local_attrs(
+                    [self._registry_id, self._registry_key], locale,
+                    names=TRANSLATABLE_ATTRS)
             except Exception:
                 continue
             loc_fmt = get_local_formatter(locale)

@@ -8,9 +8,11 @@ templates; they are merged into output attrs as ``<attr>_<locale>`` when
 from __future__ import annotations
 
 import json
+import warnings
+from copy import deepcopy
 from pathlib import Path
 
-from xclim_tpu.core.formatting import AttrFormatter
+from xclim_tpu.core.formatting import AttrFormatter, default_formatter
 
 __all__ = [
     "TRANSLATABLE_ATTRS",
@@ -76,28 +78,64 @@ def _get_loc(locale: str) -> dict:
     return _LOCALES[locale]
 
 
-def get_local_attrs(indicator_id: str, locale: str, names=None,
+def _valid_locales(locales) -> bool:
+    """Whether every entry is a registered tag or a (tag, dict|json-path)
+    tuple (xclim:core/locales.py:88)."""
+    if isinstance(locales, str):
+        return True
+    return all(
+        (isinstance(loc, str) and loc in _LOCALES)
+        or (not isinstance(loc, str)
+            and isinstance(loc[0], str)
+            and (isinstance(loc[1], dict) or Path(loc[1]).is_file()))
+        for loc in locales)
+
+
+def get_local_attrs(indicator, *locales, names=None,
                     append_locale_name: bool = True) -> dict:
-    """Translated attrs for an indicator id (xclim:core/locales.py:148)."""
-    loc = _get_loc(locale)
-    entry = loc.get(indicator_id, {})
-    out = {}
-    for name, val in entry.items():
-        if names is not None and name not in names:
+    """Translated attrs for indicator id(s) in the requested locale(s)
+    (xclim:core/locales.py:148).
+
+    ``indicator`` may be a single registry id or a priority-ordered sequence
+    (first id wins on conflicts); each locale may be a tag, a (tag, dict)
+    tuple or a (tag, json-path) tuple. Warns and contributes nothing for a
+    locale with no entry for any of the ids.
+    """
+    if isinstance(indicator, str):
+        indicator = [indicator]
+    if not append_locale_name and len(locales) > 1:
+        raise ValueError("`append_locale_name` cannot be False if multiple "
+                         "locales are requested.")
+    attrs = {}
+    for locale in locales:
+        loc_name, loc_dict = get_local_dict(locale)
+        suffix = f"_{loc_name}" if append_locale_name else ""
+        local_attrs = dict(loc_dict.get(indicator[-1], {}))
+        for other_ind in indicator[-2::-1]:
+            local_attrs.update(loc_dict.get(other_ind, {}))
+        if not local_attrs:
+            warnings.warn(
+                f"Attributes of indicator {', '.join(indicator)} in language "
+                f"{locale} were requested, but none were found.")
             continue
-        if name == "attrs_mapping":
-            continue
-        key = f"{name}_{locale}" if append_locale_name else name
-        out[key] = val
-    return out
+        for name in TRANSLATABLE_ATTRS:
+            if (names is None or name in names) and name in local_attrs:
+                attrs[f"{name}{suffix}"] = local_attrs[name]
+    return attrs
 
 
-def get_local_formatter(locale: str) -> AttrFormatter:
-    """AttrFormatter using the locale's value mappings (xclim:core/locales.py:207)."""
-    loc = _get_loc(locale)
-    mapping = dict(loc.get("attrs_mapping", {}))
-    modifiers = mapping.pop("modifiers", [])
-    return AttrFormatter(mapping, modifiers)
+def get_local_formatter(locale) -> AttrFormatter:
+    """AttrFormatter using the locale's value mappings; accepts the same
+    tag / (tag, dict) / (tag, path) forms as :func:`get_local_dict`
+    (xclim:core/locales.py:207)."""
+    _, loc_dict = get_local_dict(locale)
+    if "attrs_mapping" in loc_dict:
+        mapping = dict(loc_dict["attrs_mapping"])
+        modifiers = mapping.pop("modifiers", [])
+        return AttrFormatter(mapping, modifiers)
+    warnings.warn("No `attrs_mapping` entry found for locale, using the "
+                  "default (english) formatter.")
+    return default_formatter
 
 
 def _load_builtin_locales():
@@ -111,14 +149,18 @@ _load_builtin_locales()
 
 def get_local_dict(locale):
     """(locale_name, full translation dict) for a locale; accepts a tag, a
-    (tag, dict) tuple or a (tag, path-to-json) tuple
-    (xclim:core/locales.py:104)."""
-    if isinstance(locale, (list, tuple)) and len(locale) == 2:
-        tag, src = locale
-        if isinstance(src, dict):
-            return tag, src
-        return tag, read_locale_file(src)
-    return locale, dict(_get_loc(locale))
+    (tag, dict) tuple or a (tag, path-to-json) tuple. A tuple whose tag is a
+    registered locale MERGES the passed translations over the registered
+    ones — passed entries win (xclim:core/locales.py:104-145)."""
+    if isinstance(locale, str):
+        return locale, deepcopy(_get_loc(locale))
+    tag, src = locale[0], locale[1]
+    trans = src if isinstance(src, dict) else read_locale_file(src)
+    if tag in _LOCALES:
+        loaded = deepcopy(_LOCALES[tag])
+        loaded.update(trans)
+        trans = loaded
+    return tag, trans
 
 
 def generate_local_dict(locale: str, init_english: bool = False) -> dict:

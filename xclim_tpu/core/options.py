@@ -33,17 +33,48 @@ MISSING_METHODS: dict[str, type] = {}
 _SEVERITIES = ("raise", "warn", "log", "silent")
 
 
+def _valid_missing_options(value) -> bool:
+    """Per-method validation of a ``missing_options`` dict: the method must
+    be registered, the given parameters must exist on its ``__init__``
+    signature (unless it accepts **kwargs), and its ``validate`` must accept
+    them (xclim:core/options.py:101-127)."""
+    import inspect
+
+    if not isinstance(value, dict):
+        return False
+    for meth, opts in value.items():
+        cls = MISSING_METHODS.get(meth)
+        if cls is None or not isinstance(opts, dict):
+            return False
+        sig = inspect.signature(cls.__init__)
+        params = {p.name for p in sig.parameters.values()
+                  if p.kind in (p.POSITIONAL_OR_KEYWORD, p.KEYWORD_ONLY)
+                  and p.name != "self"}
+        has_var_kw = any(p.kind == p.VAR_KEYWORD
+                         for p in sig.parameters.values())
+        if not has_var_kw and not set(opts) <= params:
+            return False
+        try:
+            if not cls.validate(**opts):
+                return False
+        except TypeError:
+            return False
+    return True
+
+
 def _valid(name, value):
     if name in (DATA_VALIDATION, CF_COMPLIANCE):
         return value in _SEVERITIES
     if name == CHECK_MISSING:
         return value in MISSING_METHODS or value == "skip"
     if name == METADATA_LOCALES:
-        return isinstance(value, (list, tuple))
+        from xclim_tpu.core.locales import _valid_locales
+
+        return isinstance(value, (list, tuple)) and _valid_locales(value)
     if name in (AS_DATASET, RESAMPLE_MAP_BLOCKS):
         return isinstance(value, bool)
     if name == MISSING_OPTIONS:
-        return isinstance(value, dict)
+        return _valid_missing_options(value)
     if name == RUN_LENGTH_UFUNC:
         return value in ("auto", True, False)
     return False
