@@ -81,8 +81,9 @@ class TestDataFlags:
         tas = tas_series(np.full(40, 280.0))
         flags = data_flags(tas)
         assert len(flags.data_vars) > 0
-        # constant series triggers the repetition flag
-        assert bool(np.asarray(flags["values_repeating_for_n_or_more_days"].values))
+        # constant series triggers the repetition flag (keys carry the
+        # reference's generated names since the r5 parity pass)
+        assert bool(np.asarray(flags["values_repeating_for_5_or_more_days"].values))
 
     def test_raise_flags(self, tas_series):
         tas = tas_series(np.full(40, 400.0))  # extremely hot

@@ -165,6 +165,10 @@ def dataflags(ctx, variables, raise_flags):
     for name in names:
         flags = _df(ds[name], ds, raise_flags=raise_flags)
         for k, v in flags.items():
+            if v is None:
+                # comparison check whose companion variable is absent
+                click.echo(f"{name}_{k}: None")
+                continue
             out[f"{name}_{k}"] = v
     ctx.obj["ds_out"] = out
     for k, v in out.items():

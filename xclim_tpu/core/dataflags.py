@@ -47,7 +47,7 @@ class DataQualityException(Exception):
     def __init__(self, flag_array: ClimDataset, message="Data quality flags indicate suspicious values. Flags raised are:\n  - "):
         self.flags = []
         for name, da in flag_array.items():
-            if bool(np.asarray(da.values).any()):
+            if da is not None and bool(np.asarray(da.values).any()):
                 self.flags.append(da.attrs.get("description", name))
         super().__init__(message + "\n  - ".join(self.flags))
 
@@ -192,44 +192,114 @@ def percentage_values_outside_of_bounds(da: ClimArray) -> ClimArray:
                  "Percentage values beyond bounds found.")
 
 
-# which flags apply to which variables (from the reference variables.yml)
+# which checks (with which kwargs) apply to which variables — mirrors the
+# reference's variables.yml ``data_flags`` entries (xclim:src/xclim/data/
+# variables.yml). A list of (check, kwargs) pairs, NOT a dict: the same
+# check may run several times with different kwargs (pr's two repetition
+# screens); the generated flag name disambiguates the outputs.
+_TEMPERATURE_FLAGS = [
+    ("temperature_extremely_high", {"thresh": "60 degC"}),
+    ("temperature_extremely_low", {"thresh": "-90 degC"}),
+    ("values_repeating_for_n_or_more_days", {"n": 5}),
+    ("outside_n_standard_deviations_of_climatology", {"n": 5, "window": 5}),
+]
+_WIND_FLAGS = lambda upper, thresh, n: [  # noqa: E731
+    ("wind_values_outside_of_bounds", {"upper": upper, "lower": "0 m s-1"}),
+    ("values_op_thresh_repeating_for_n_or_more_days",
+     {"op": "gt", "thresh": thresh, "n": n}),
+]
 _VARIABLE_FLAGS = {
-    "tas": ["temperature_extremely_low", "temperature_extremely_high",
-            "values_repeating_for_n_or_more_days"],
-    "tasmax": ["temperature_extremely_low", "temperature_extremely_high",
-               "values_repeating_for_n_or_more_days", "tasmax_below_tasmin"],
-    "tasmin": ["temperature_extremely_low", "temperature_extremely_high",
-               "values_repeating_for_n_or_more_days"],
-    "pr": ["negative_accumulation_values", "very_large_precipitation_events",
-           "values_op_thresh_repeating_for_n_or_more_days"],
-    "prsn": ["negative_accumulation_values"],
-    "sfcWind": ["wind_values_outside_of_bounds",
-                "values_repeating_for_n_or_more_days"],
-    "hurs": ["percentage_values_outside_of_bounds"],
-    "siconc": ["percentage_values_outside_of_bounds"],
-    "snd": ["negative_accumulation_values"],
-    "snw": ["negative_accumulation_values"],
+    "tas": [("tas_exceeds_tasmax", None), ("tas_below_tasmin", None),
+            *_TEMPERATURE_FLAGS],
+    "tasmax": [("tas_exceeds_tasmax", None), ("tasmax_below_tasmin", None),
+               *_TEMPERATURE_FLAGS],
+    "tasmin": [("tasmax_below_tasmin", None), ("tas_below_tasmin", None),
+               *_TEMPERATURE_FLAGS],
+    "pr": [
+        ("negative_accumulation_values", None),
+        ("very_large_precipitation_events", {"thresh": "300 mm d-1"}),
+        ("values_op_thresh_repeating_for_n_or_more_days",
+         {"op": "eq", "n": 5, "thresh": "5 mm d-1"}),
+        ("values_op_thresh_repeating_for_n_or_more_days",
+         {"op": "eq", "n": 10, "thresh": "1 mm d-1"}),
+    ],
+    "prc": [("negative_accumulation_values", None)],
+    "prsn": [("negative_accumulation_values", None)],
+    "prsnd": [("negative_accumulation_values", None)],
+    "evspsblpot": [("negative_accumulation_values", None)],
+    "ps": [("values_repeating_for_n_or_more_days", {"n": 5})],
+    "psl": [("values_repeating_for_n_or_more_days", {"n": 5})],
+    "sfcWind": _WIND_FLAGS("46.0 m s-1", "2.0 m s-1", 6),
+    "sfcWindmax": _WIND_FLAGS("46.0 m s-1", "2.0 m s-1", 6),
+    "wsgsmax": _WIND_FLAGS("76.0 m s-1", "4.0 m s-1", 5),
+    "hurs": [("percentage_values_outside_of_bounds", None)],
+    "siconc": [("percentage_values_outside_of_bounds", None)],
+    "snc": [("percentage_values_outside_of_bounds", None)],
+    "snd": [("negative_accumulation_values", None)],
+    "snw": [("negative_accumulation_values", None)],
+    "swe": [("negative_accumulation_values", None)],
+    "qspec": [("specific_discharge_extremely_high",
+               {"thresh": "100 mm d-1"})],
 }
 
-_DEFAULT_FLAG_KWARGS = {
-    "values_repeating_for_n_or_more_days": {"n": 5},
-    "values_op_thresh_repeating_for_n_or_more_days": {"n": 5, "thresh": "5 mm d-1",
-                                                      "op": "=="},
-}
+
+def _flag_key(func, template: str | None, kwargs: dict | None) -> str:
+    """Substitute call arguments into a registered ``variable_name`` template
+    — ``op`` becomes its word form, quantified strings keep only their
+    magnitude with ``.``→``point`` and ``-``→``minus``
+    (xclim:core/dataflags.py:633-661 ``_get_variable_name``)."""
+    if template is None:
+        return func.__name__
+    fmt = {}
+    kwargs = kwargs or {}
+    for arg, p in inspect.signature(func).parameters.items():
+        val = kwargs.get(arg, p.default)
+        if val is inspect.Parameter.empty:
+            continue
+        if arg == "op":
+            fmt[arg] = binary_ops.get(val, val)
+        elif isinstance(val, str):
+            try:
+                mag = str2pint(val).magnitude
+            except Exception:
+                fmt[arg] = val
+                continue
+            if mag == int(mag):
+                mag = int(mag)
+            fmt[arg] = str(mag).replace(".", "point").replace("-", "minus")
+        elif isinstance(val, (int, float)):
+            fmt[arg] = val
+    return template.format(**fmt)
 
 
 def data_flags(da: ClimArray, ds: ClimDataset | None = None, flags: dict | None = None,
                dims="all", freq: str | None = None,
                raise_flags: bool = False) -> ClimDataset:
-    """Evaluate applicable QC flags for a variable (xclim:core/dataflags.py:581)."""
+    """Evaluate applicable QC flags for a variable (xclim:core/dataflags.py:581).
+
+    Output names are generated from each check's registered template
+    (``values_eq_1_repeating_for_10_or_more_days``); a check whose companion
+    variable is absent from ``ds`` yields ``None`` (xclim:core/dataflags.py:
+    688-694); a variable with no registered checks raises (``raise_flags``)
+    or logs and returns an empty dataset.
+    """
     name = da.name
     if flags is None:
-        flag_names = _VARIABLE_FLAGS.get(name, ["values_repeating_for_n_or_more_days"])
-        flags = {fn: _DEFAULT_FLAG_KWARGS.get(fn) for fn in flag_names}
+        if name not in _VARIABLE_FLAGS:
+            raise_warn_or_log(
+                NotImplementedError(
+                    f"Data quality checks do not exist for '{name}' variable."),
+                mode="raise" if raise_flags else "log",
+                err_type=NotImplementedError)
+            return ClimDataset()
+        pairs = _VARIABLE_FLAGS[name]
+    else:
+        pairs = list(flags.items())
     out = ClimDataset()
-    for fname, kwargs in flags.items():
-        func, _ = _REGISTRY[fname]
+    for fname, kwargs in pairs:
+        func, template = _REGISTRY[fname]
         kwargs = dict(kwargs or {})
+        key = _flag_key(func, template, kwargs)
         sig = inspect.signature(func)
         call = {}
         first = True
@@ -247,9 +317,10 @@ def data_flags(da: ClimArray, ds: ClimDataset | None = None, flags: dict | None 
                 call = None
                 break
         if call is None:
+            # comparison check whose companion variable is missing
+            out.data_vars[key] = None
             continue
         res = func(**call)
-        key = fname
         if freq is not None and res.time is not None:
             res2 = res.astype(jnp.float32).resample(freq).sum() > 0
             res2.attrs = dict(res.attrs)
@@ -260,7 +331,8 @@ def data_flags(da: ClimArray, ds: ClimDataset | None = None, flags: dict | None 
             res = red
         out[key] = res
     if raise_flags:
-        if any(bool(np.asarray(v.values).any()) for v in out.values()):
+        if any(v is not None and bool(np.asarray(v.values).any())
+               for v in out.values()):
             raise DataQualityException(out)
     return out
 
@@ -275,7 +347,8 @@ def ecad_compliant(ds: ClimDataset, dims="all", raise_flags: bool = False,
             continue
         res = data_flags(da, ds, dims=dims)
         for k, v in res.items():
-            flags[f"{name}_{k}"] = v
+            if v is not None:
+                flags[f"{name}_{k}"] = v
     if raise_flags:
         bad = [k for k, v in flags.items() if bool(np.asarray(v.values).any())]
         if bad:
