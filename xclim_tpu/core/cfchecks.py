@@ -47,3 +47,15 @@ def _cell_methods_mismatch(expected: str, got: str) -> bool:
     exp = re.sub(r"\s+", " ", expected.strip())
     g = re.sub(r"\s+", " ", (got or "").strip())
     return exp not in g
+
+
+def _check_cell_methods(data_cell_methods: str | None, expected: str):
+    """Raise unless the expected ``name: method`` pair appears within the
+    data's cell_methods (xclim:core/cfchecks.py:36-52)."""
+    if data_cell_methods is None or _cell_methods_mismatch(
+            expected, data_cell_methods):
+        raise ValidationError(
+            f"Variable has a non-conforming cell_methods: "
+            f"Got `{data_cell_methods}`, which do not include the expected "
+            f"`{expected}`.")
+    return None

@@ -23,7 +23,12 @@ def check_freq(var, freq: str | list[str], strict: bool = True):
                 "Unable to infer the frequency of the time series. "
                 "To mute this, set xclim_tpu's option data_validation='log'.")
         return None
-    v_base = parse_offset(v_freq)[1]
+    try:
+        v_base = parse_offset(v_freq)[1]
+    except ValueError:
+        # e.g. a decreasing index infers a negative step ('-12h')
+        raise ValidationError(
+            f"Frequency of time series not in {freq}. Got {v_freq}.") from None
     if v_freq not in freq and (strict or (v_base not in exp_base)):
         raise ValidationError(
             f"Frequency of time series not {'strictly' if strict else ''} in {freq}. "
@@ -44,14 +49,16 @@ def check_common_time(inputs):
     """Check all inputs share the same frequency & alignment
     (xclim:core/datachecks.py:76)."""
     freqs = [i.time.infer_freq() for i in inputs if i.time is not None]
+    if any(f is None for f in freqs):
+        raise ValidationError("Unable to infer the frequency of the time series.")
     if len(set(freqs)) != 1:
         raise ValidationError(f"Inputs have different frequencies: {freqs}.")
-    if freqs[0] is None:
-        raise ValidationError("Unable to infer the frequency of the time series.")
     mult, base, _, _ = parse_offset(freqs[0])
     if base in "hms":
         sods = {int(i.time.seconds_of_day[0]) for i in inputs if i.time is not None}
         if len(sods) > 1:
             raise ValidationError(
-                "All inputs have the same frequency but they are not aligned.")
+                f"All inputs have the same frequency ({freqs[0]}), but they "
+                "are not anchored on the same minutes. "
+                "To mute this, set xclim_tpu's option data_validation='log'.")
     return None
