@@ -14,6 +14,19 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent XLA compile cache: the suite is compile-bound on a 1-CPU host
+# (hundreds of small per-test compiles — min_compile_time must be 0 or the
+# cache captures almost nothing; measured on test_percentiles.py: 41.9 s
+# cold -> 15.4 s warm). Warm runs land the default subset well under the
+# reference's 900 s session budget; delete .jax_cache_cpu for a cold run
+# or set XCLIM_TPU_TEST_CACHE=0 to disable
+if os.environ.get("XCLIM_TPU_TEST_CACHE", "1") != "0":
+    _cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache_cpu")
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+
 import numpy as np
 import pytest
 
