@@ -186,3 +186,80 @@ indicators:
         for p in sorted(data_dir.glob("*.yml")):
             errs = validate_module_dict(yaml.safe_load(p.read_text()))
             assert errs == [], f"{p.name}: {errs}"
+
+
+class TestClixMeta:
+    """Ported from xclim:tests/test_modules.py TestClixMeta — the cdd
+    fixture is clix-meta upstream data (https://github.com/clix-meta)."""
+
+    cdd = """
+indices:
+  cdd:
+    reference: ETCCDI
+    default_period: annual
+    output:
+      var_name: "cdd"
+      standard_name: spell_length_of_days_with_lwe_thickness_of_precipitation_amount_below_threshold
+      proposed_standard_name: spell_length_with_lwe_thickness_of_precipitation_amount_below_threshold
+      long_name: "Maximum consecutive dry days (Precip < 1mm)"
+      units: "day"
+      cell_methods:
+        - time: sum within days
+        - time: sum over days
+    input:
+      data: pr
+    index_function:
+      name: spell_length
+      parameters:
+        threshold:
+          kind: quantity
+          standard_name: lwe_precipitation_rate
+          long_name: "Wet day threshold"
+          data: 1
+          units: "mm day-1"
+        condition:
+          kind: operator
+          operator: "<"
+        reducer:
+          kind: reducer
+          reducer: max
+    ET:
+      short_name: "cdd"
+      long_name: "Consecutive dry days"
+      definition: "Maximum number of consecutive days with P<1mm"
+      comment: "maximum consecutive days when daily total precipitation is below 1 mm"
+"""
+
+    def test_simple_clix_meta_adaptor(self, tmp_path):
+        import yaml
+
+        from xclim_tpu.core.utils import adapt_clix_meta_yaml
+
+        test_yaml = tmp_path / "test.yaml"
+        adapt_clix_meta_yaml(self.cdd, test_yaml)
+
+        converted = yaml.safe_load(test_yaml.open())
+        assert "cdd" in converted["indicators"]
+        ind = converted["indicators"]["cdd"]
+        assert ind["compute"] == "spell_length"
+        assert ind["parameters"]["op"] == "<"
+        assert ind["parameters"]["threshold"] == "1 mm day-1"
+        assert ind["parameters"]["freq"]["default"] == "YS"
+        # the input-describing first cell_method is dropped
+        assert ind["cf_attrs"][0]["cell_methods"] == "time: sum over days"
+
+    def test_adapted_module_builds_and_runs(self, tmp_path, pr_series):
+        import numpy as np
+
+        from xclim_tpu.core.indicator import build_indicator_module_from_yaml
+        from xclim_tpu.core.utils import adapt_clix_meta_yaml
+
+        test_yaml = tmp_path / "clixdemo.yml"
+        adapt_clix_meta_yaml(self.cdd, test_yaml)
+        mod = build_indicator_module_from_yaml(test_yaml, name="clixdemo")
+
+        pr = pr_series(np.zeros(365, dtype="float32"), start="2001-01-01")
+        out = mod.cdd(pr)
+        # a fully dry year: the whole year is one dry spell
+        assert float(np.asarray(out.values)[0]) == 365.0
+        assert out.attrs["units"] in ("d", "day", "days")
