@@ -269,3 +269,80 @@ class TestWinquantileTriState:
         with _pytest.raises(ValueError):
             adjustment._run_train_core(core)
         self._reset()
+
+
+class TestAxisquantileTriState:
+    """Round-5: the saturated-ensembles regression twin of the QDM one — a
+    transient probe failure must not silently demote ensemble quantiles to
+    the 2x-slower sorting-network path. Tri-state: "attempt" lets
+    _pallas_nan_quantile try the real kernel (it already retries and
+    demotes on runtime failure)."""
+
+    def _reset(self):
+        from xclim_tpu.ops.pallas.capability import (set_axisquantile_state,
+                                                     set_pallas_mode)
+
+        set_pallas_mode(None)
+        set_axisquantile_state(None)
+
+    def test_transient_probe_failure_yields_attempt(self, monkeypatch):
+        from xclim_tpu.ops.pallas import capability
+
+        self._reset()
+        monkeypatch.setattr(capability, "pallas_mode", lambda: "mosaic")
+        monkeypatch.setattr(capability, "_PROBE_TRIES", 2)
+
+        def boom(*a, **k):
+            raise RuntimeError("HTTP 500: transient remote-compile error")
+
+        import xclim_tpu.ops.pallas.axisquantile as aq
+        monkeypatch.setattr(aq, "axis_quantile_small", boom)
+        monkeypatch.setattr(capability, "_probe_cache_path", lambda: None)
+        assert capability.axisquantile_state() == "attempt"
+        self._reset()
+
+    def test_numeric_mismatch_yields_no(self, monkeypatch):
+        import numpy as np
+
+        from xclim_tpu.ops.pallas import capability
+
+        self._reset()
+        monkeypatch.setattr(capability, "pallas_mode", lambda: "mosaic")
+        monkeypatch.setattr(capability, "_PROBE_TRIES", 2)
+
+        import xclim_tpu.ops.pallas.axisquantile as aq
+        monkeypatch.setattr(
+            aq, "axis_quantile_small",
+            lambda x, q, **k: np.full((len(q), x.shape[1]), 123.0,
+                                      np.float32))
+        monkeypatch.setattr(capability, "_probe_cache_path", lambda: None)
+        assert capability.axisquantile_state() == "no"
+        self._reset()
+
+    def test_attempt_runtime_failure_demotes_and_serves_fallback(
+            self, monkeypatch):
+        import numpy as np
+
+        from xclim_tpu.ops import quantile as qmod
+        from xclim_tpu.ops.pallas import capability
+
+        self._reset()
+        monkeypatch.setattr(capability, "_AQ_OK", "attempt")
+
+        def boom(*a, **k):
+            raise RuntimeError("production compile failed")
+
+        import xclim_tpu.ops.pallas.axisquantile as aq
+        monkeypatch.setattr(aq, "axis_quantile_small", boom)
+        monkeypatch.setattr(aq, "axis_quantile_small_nd", boom)
+
+        x = np.random.default_rng(0).normal(
+            0, 1, (16, 64, 64)).astype(np.float32)
+        out = qmod.nan_quantile(x, np.array([0.5], np.float32), axis=0)
+        ref = qmod.nan_quantile(x, np.array([0.5], np.float32), axis=0,
+                                _no_pallas=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        # the failed attempt demoted the kernel for the process
+        assert capability.axisquantile_state() == "no"
+        self._reset()

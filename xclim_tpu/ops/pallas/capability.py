@@ -25,7 +25,8 @@ import os
 __all__ = ["pallas_mode", "set_pallas_mode", "mosaic_supported",
            "winquantile_supported", "winquantile_state",
            "set_winquantile_state", "segred_supported",
-           "axisquantile_supported", "qdmadjust_supported",
+           "axisquantile_supported", "axisquantile_state",
+           "set_axisquantile_state", "qdmadjust_supported",
            "spell_engine", "set_spell_engine", "dispatch_counts"]
 
 _MODE: str | None = None
@@ -296,17 +297,26 @@ def segred_supported() -> bool:
     return _SR_OK
 
 
-_AQ_OK: bool | None = None
+_AQ_OK: str | None = None  # "yes" | "no" | "attempt"
 
 
-def _probe_axisquantile() -> bool:
+def _probe_axisquantile() -> str:
     """Compile + run the small-axis quantile kernel at a tiny shape against
     the XLA nan_quantile path (own probe — the remote Mosaic helper
-    accepts/rejects per-program)."""
+    accepts/rejects per-program).
+
+    Tri-state like :func:`_probe_winquantile` (round-5 fix for the silently
+    2x-slower saturated-ensembles row: a transient tunnel failure during
+    this probe demoted the whole process to the sorting-network path):
+    ``"yes"`` verified / ``"no"`` mismatched oracle / ``"attempt"`` every
+    try raised (transient — the runtime path has its own retry + demote).
+    """
     marker = _probe_cache_path()
     marker = marker + "_aq" if marker else None
     if marker and os.path.exists(marker):
-        return True
+        return "yes"
+
+    raised = [0]
 
     def body():
         import numpy as np
@@ -321,7 +331,12 @@ def _probe_axisquantile() -> bool:
         q = np.array([0.1, 0.5, 0.9])
         oks = []
         for ab in ((1.0, 1.0), (1 / 3, 1 / 3)):
-            a = np.asarray(axis_quantile_small(x, q, alpha=ab[0], beta=ab[1]))
+            try:
+                a = np.asarray(axis_quantile_small(x, q,
+                                                   alpha=ab[0], beta=ab[1]))
+            except Exception:
+                raised[0] += 1
+                raise
             b = np.asarray(nan_quantile(x, np.asarray(q, np.float32), axis=0,
                                         alpha=ab[0], beta=ab[1],
                                         _no_pallas=True))
@@ -330,10 +345,12 @@ def _probe_axisquantile() -> bool:
         return all(bool(v) for v in oks)
 
     ok = _retry_probe(body)
-    if ok and marker:
-        with open(marker, "w") as f:
-            f.write("ok\n")
-    return ok
+    if ok:
+        if marker:
+            with open(marker, "w") as f:
+                f.write("ok\n")
+        return "yes"
+    return "attempt" if raised[0] >= _PROBE_TRIES else "no"
 
 
 _QA_OK: bool | None = None
@@ -389,18 +406,32 @@ def qdmadjust_supported() -> bool:
     return _QA_OK
 
 
-def axisquantile_supported() -> bool:
-    """Whether the Pallas small-axis quantile kernel serves this process."""
+def axisquantile_state() -> str:
+    """Tri-state dispatch decision for the small-axis quantile kernel:
+    ``"yes"`` (probe-verified), ``"no"`` (unavailable or numerically
+    wrong), ``"attempt"`` (probe only failed transiently — try the real
+    kernel; its runtime path retries and demotes on failure)."""
     global _AQ_OK
     if _AQ_OK is None:
         mode = pallas_mode()
-        if mode == "off":
-            _AQ_OK = False
-        elif mode == "interpret":
-            _AQ_OK = False
+        if mode in ("off", "interpret"):
+            _AQ_OK = "no"
         else:
             _AQ_OK = _probe_axisquantile()
     return _AQ_OK
+
+
+def set_axisquantile_state(state: str | None) -> None:
+    """Override the axisquantile dispatch (``None`` re-probes next call)."""
+    global _AQ_OK
+    if state is not None and state not in ("yes", "no", "attempt"):
+        raise ValueError(f"unknown axisquantile state {state!r}")
+    _AQ_OK = state
+
+
+def axisquantile_supported() -> bool:
+    """Whether the Pallas small-axis quantile kernel serves this process."""
+    return axisquantile_state() == "yes"
 
 
 def pallas_mode() -> str:

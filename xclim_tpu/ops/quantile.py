@@ -102,10 +102,13 @@ def _pallas_nan_quantile(x, q, axis, alpha, beta):
         return None
     if jnp.result_type(x) != jnp.float32:
         return None
-    from xclim_tpu.ops.pallas.capability import axisquantile_supported
+    from xclim_tpu.ops.pallas.capability import axisquantile_state
 
-    if not axisquantile_supported():
+    if axisquantile_state() == "no":
         return None
+    # "yes" or "attempt": run the kernel; the retry/demote below turns a
+    # production-compile failure into a clean fall-through to the network
+    # path (tri-state, mirroring the winquantile dispatch — VERDICT r4 #3)
     from xclim_tpu.ops.pallas.axisquantile import (
         axis_quantile_small,
         axis_quantile_small_nd,
@@ -134,9 +137,9 @@ def _pallas_nan_quantile(x, q, axis, alpha, beta):
         # demote ONLY this kernel for the process (round-4 fix: the old
         # set_pallas_mode("off") also killed the unrelated winquantile /
         # spells kernels on one flaky compile)
-        import xclim_tpu.ops.pallas.capability as _cap
+        from xclim_tpu.ops.pallas.capability import set_axisquantile_state
 
-        _cap._AQ_OK = False
+        set_axisquantile_state("no")
         return None
     if use_nd:
         return out
